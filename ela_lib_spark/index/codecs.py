@@ -1,0 +1,185 @@
+"""Posting-list block codecs: varint (LEB128), bit-packed FOR, and
+exception-patched PForDelta. All numpy-vectorized — these run inside
+Arrow UDFs on the executors, so no per-element Python loops.
+
+The reference stores documents as NDJSON and delegates posting-list
+storage to Lucene; this module is the from-scratch replacement
+(north rule: "delta/varint+PForDelta block compression").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- varint
+
+
+def varint_encode(arr: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (any dtype ≤ uint64)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    out = np.zeros(int(nbytes.sum()), np.uint8)
+    v = a.copy()
+    offset = np.zeros(n, np.int64)
+    live = np.arange(n)
+    while len(live):
+        idx = starts[live] + offset[live]
+        cont = offset[live] < nbytes[live] - 1
+        out[idx] = (v[live] & np.uint64(0x7F)).astype(np.uint8) | (
+            cont.astype(np.uint8) << 7
+        )
+        v[live] >>= np.uint64(7)
+        offset[live] += 1
+        live = live[cont]
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode n LEB128 values from buf → uint64 array."""
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    b = np.frombuffer(buf, np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)[:n]
+    nbytes_total = int(ends[-1]) + 1
+    b = b[:nbytes_total]
+    is_last = is_last[:nbytes_total]
+    val_idx = np.zeros(nbytes_total, np.int64)
+    np.cumsum(is_last[:-1], out=val_idx[1:])
+    starts = np.zeros(n, np.int64)
+    starts[1:] = ends[:-1] + 1
+    shift = ((np.arange(nbytes_total) - starts[val_idx]) * 7).astype(np.uint64)
+    vals = np.zeros(n, np.uint64)
+    np.add.at(vals, val_idx, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
+    return vals
+
+
+# ------------------------------------------------------------- bitpacking
+
+
+def _bits_needed(x: int) -> int:
+    return max(1, int(x).bit_length())
+
+
+def bitpack_encode(arr: np.ndarray, width: int) -> bytes:
+    """Pack values (< 2**width, width ≤ 32) MSB-first into bytes."""
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    if len(a) == 0:
+        return b""
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((a[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def bitpack_decode(buf: bytes, n: int, width: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width)
+    m = bits.reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (m << shifts).sum(axis=1, dtype=np.uint64)
+
+
+# ------------------------------------------------------------- PForDelta
+# Layout: [width:1B][n_exc varint][packed normals][exc idx varint deltas]
+#         [exc values varint]
+# Normals are values < 2**width; exceptions are zeroed in the packed
+# stream and patched back on decode.
+
+
+def pfor_encode(arr: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    n = len(a)
+    if n == 0:
+        return bytes([0])
+    w90 = _bits_needed(int(np.percentile(a, 90)))
+    w90 = min(w90, 32)
+    limit = np.uint64(1) << np.uint64(w90)
+    exc_idx = np.flatnonzero(a >= limit)
+    normals = a.copy()
+    normals[exc_idx] = 0
+    header = bytes([w90]) + varint_encode(np.array([len(exc_idx)], np.uint64))
+    body = bitpack_encode(normals, w90)
+    if len(exc_idx):
+        gaps = np.diff(exc_idx, prepend=0).astype(np.uint64)
+        body += varint_encode(gaps) + varint_encode(a[exc_idx])
+    return header + body
+
+
+def pfor_decode(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    width = buf[0]
+    rest = buf[1:]
+    n_exc = int(varint_decode(rest, 1)[0])
+    # length of the n_exc varint
+    h = 0
+    while rest[h] & 0x80:
+        h += 1
+    h += 1
+    rest = rest[h:]
+    packed_len = (n * width + 7) // 8
+    vals = bitpack_decode(rest[:packed_len], n, width)
+    if n_exc:
+        tail = rest[packed_len:]
+        both = varint_decode(tail, 2 * n_exc)
+        idx = np.cumsum(both[:n_exc].astype(np.int64))
+        vals[idx] = both[n_exc:]
+    return vals
+
+
+# ----------------------------------------------------------- block codec
+
+CODEC_VARINT = "varint"
+CODEC_PFOR = "pfor"
+
+_ENC = {CODEC_VARINT: varint_encode, CODEC_PFOR: pfor_encode}
+
+
+def _dec(codec: str, buf: bytes, n: int) -> np.ndarray:
+    return varint_decode(buf, n) if codec == CODEC_VARINT else pfor_decode(buf, n)
+
+
+def encode_block(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, codec: str = CODEC_VARINT
+) -> tuple[bytes, bytes, bytes, int, int]:
+    """Encode one posting block. doc_ids strictly increasing.
+
+    Returns (doc_deltas, tfs, dls, first_doc_id, last_doc_id); the
+    delta stream holds diff(doc_ids) (n-1 values) — first id lives in
+    the block metadata column.
+    """
+    enc = _ENC[codec]
+    deltas = np.diff(doc_ids.astype(np.uint64))
+    return (
+        enc(deltas),
+        enc(tfs),
+        enc(dls),
+        int(doc_ids[0]),
+        int(doc_ids[-1]),
+    )
+
+
+def decode_block(
+    doc_deltas: bytes,
+    tfs: bytes,
+    dls: bytes,
+    n: int,
+    first_doc_id: int,
+    codec: str = CODEC_VARINT,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids = np.empty(n, np.int64)
+    ids[0] = first_doc_id
+    if n > 1:
+        ids[1:] = _dec(codec, doc_deltas, n - 1).astype(np.int64)
+        np.cumsum(ids, out=ids)
+    return ids, _dec(codec, tfs, n).astype(np.int64), _dec(codec, dls, n).astype(np.int64)

@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup — each
+expressed as DataFrame compositions so Catalyst plans the shuffles;
+only the signature kernels (functions/hashing.py) are pandas UDFs.
+
+Scale notes (100 TB): exact dedup is one hash-aggregate (map-side
+partial agg, no row data shuffled — only (hash, key)); LSH candidate
+generation shuffles (band, band_hash) pairs, NOT documents; pair
+verification joins signatures only. Cluster formation uses iterative
+min-label propagation (large-star/small-star family) with a bounded
+iteration count instead of driver-side union-find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ela_lib_spark.functions.hashing import (
+    band_cols,
+    hamming64,
+    make_minhash_udf,
+    make_simhash_udf,
+    shingle_col,
+)
+from ela_lib_spark.functions.text import tokenize_col
+
+
+def dedup_exact(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-key representative per exact text hash.
+
+    groupBy(hash) → min(key) → semi-join back: no full-row shuffle,
+    the winners table is (hash, key) only.
+    """
+    h = F.xxhash64(F.col(text_col)).alias("_h")
+    hashed = df.withColumn("_h", h)
+    winners = hashed.groupBy("_h").agg(F.min(key).alias(key)).select(key)
+    return hashed.join(winners, key, "left_semi").drop("_h")
+
+
+def minhash_signatures(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 64, shingle_n: int = 3,
+) -> DataFrame:
+    toks = tokenize_col(F.col(text_col))
+    mh = make_minhash_udf(num_hashes)
+    return df.select(key, mh(shingle_col(toks, shingle_n)).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, key: str = "doc_id", num_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Docs sharing any band hash → candidate pair (a < b)."""
+    banded = sigs.select(key, *band_cols(F.col("sig"), num_bands, rows_per_band))
+    stacked = banded.selectExpr(
+        key,
+        "stack({}, {}) as (band, bh)".format(
+            num_bands, ", ".join(f"{b}, band_{b}" for b in range(num_bands))
+        ),
+    )
+    l = stacked.select(F.col(key).alias("a"), "band", "bh")
+    r = stacked.select(F.col(key).alias("b"), "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_jaccard(sigs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    a = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(a, "a").join(b, "b")
+    eq = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                         lambda v: v))
+    return j.select("a", "b", (eq / F.size("sig_a")).alias("est_jaccard"))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label propagation over undirected edges (a, b) →
+    (node, component). Converges in O(diameter) rounds; dedup cluster
+    diameters are tiny, and max_iter bounds the worst case."""
+    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_minhash_lsh(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, num_hashes: int = 64,
+    num_bands: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup removal: keep min-key doc per near-dup cluster."""
+    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, key, num_bands, num_hashes // num_bands)
+    dup_edges = minhash_jaccard(sigs, pairs, key).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    comps = connected_components(dup_edges.select("a", "b"))
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(key)
+    )
+    return df.join(losers, key, "left_anti")
+
+
+def simhash_signatures(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    sh = make_simhash_udf()
+    return df.select(key, sh(tokenize_col(F.col(text_col))).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame, key: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate generation by 4×16-bit chunk equality (any doc pair
+    within hamming ≤ 3 of a 64-bit hash shares ≥1 of 4 chunks —
+    pigeonhole), then exact hamming verify."""
+    chunks = sigs.select(
+        key, "simhash",
+        *[F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+          for i in range(4)],
+    )
+    stacked = chunks.selectExpr(
+        key, "simhash",
+        "stack(4, 0, c0, 1, c1, 2, c2, 3, c3) as (chunk_id, chunk)",
+    )
+    l = stacked.select(F.col(key).alias("a"), F.col("simhash").alias("ha"), "chunk_id", "chunk")
+    r = stacked.select(F.col(key).alias("b"), F.col("simhash").alias("hb"), "chunk_id", "chunk")
+    cand = (
+        l.join(r, ["chunk_id", "chunk"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb").distinct()
+    )
+    return cand.withColumn("hamming", hamming64(F.col("ha"), F.col("hb"))).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: explode distinct shingles,
+    self-join on shingle, |A∩B| / (|A|+|B|−|A∩B|) ≥ τ."""
+    sh = df.select(
+        F.col(key),
+        F.array_distinct(shingle_col(tokenize_col(F.col(text_col)), shingle_n)).alias("sh"),
+    )
+    sizes = sh.select(key, F.size("sh").alias("n_sh"))
+    ex = sh.select(key, F.explode("sh").alias("g"))
+    l = ex.select(F.col(key).alias("a"), "g")
+    r = ex.select(F.col(key).alias("b"), "g")
+    common = (
+        l.join(r, "g").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(key).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(key).alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,74 @@
+"""Closed-form BM25 over flat postings — pure `pyspark.sql.functions`
+(zero Python in the plan; whole-stage codegen end to end).
+
+This is the Step-1 path from SURVEY.md §7: join query terms to
+postings, join doc stats, groupBy-sum, orderBy-limit. It doubles as the
+SQL-expressible oracle surface (DuckDB runs the equivalent SQL), while
+the block-max WAND executor (query/wand.py) is the scale path over the
+compressed index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ela_lib_spark import BM25_B, BM25_K1
+
+
+def flat_postings(tokens_df: DataFrame) -> DataFrame:
+    """(doc_id, tokens:array) → (term, doc_id, tf). explode + count —
+    Catalyst does partial aggregation map-side."""
+    ex = tokens_df.select("doc_id", F.explode("tokens").alias("term"))
+    return ex.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def doc_lens(tokens_df: DataFrame) -> DataFrame:
+    return tokens_df.select(
+        "doc_id", F.size("tokens").cast("long").alias("doc_len")
+    )
+
+
+def bm25_score_col(tf, doc_len, df, n_docs: int, avg_dl: float):
+    idf = F.log(
+        1.0 + (F.lit(float(n_docs)) - df + 0.5) / (df + 0.5)
+    )
+    return (
+        idf
+        * F.lit(BM25_K1 + 1.0)
+        * tf
+        / (tf + F.lit(BM25_K1) * (1.0 - BM25_B + F.lit(BM25_B) * doc_len / F.lit(avg_dl)))
+    )
+
+
+def bm25_topk_flat(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avg_dl: float,
+    terms: list[str],
+    mode: str = "OR",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 with built-ins only. `postings` must cover the whole
+    corpus (df is derived by counting within the term filter)."""
+    q = postings.filter(F.col("term").isin(terms))
+    dfs = q.groupBy("term").agg(F.count("*").alias("df"))
+    # dfs has ≤ len(terms) rows — broadcast, no shuffle for this join
+    joined = q.join(F.broadcast(dfs), "term").join(doc_stats, "doc_id")
+    scored = joined.select(
+        "doc_id",
+        bm25_score_col(
+            F.col("tf").cast("double"), F.col("doc_len"), F.col("df"), n_docs, avg_dl
+        ).alias("contrib"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"), F.count("*").alias("n_terms")
+    )
+    if mode.upper() == "AND":
+        agg = agg.filter(F.col("n_terms") == len(terms))
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,155 @@
+"""Block-max WAND top-k BM25 executor (SURVEY.md §2.9, §7 step 4).
+
+The index is term-partitioned for build, but each shard covers a
+disjoint **doc-id range** (shard = bucket-range group — index/build.py),
+so grouping a query's postings by shard gives every task a complete,
+self-contained doc-at-a-time scoring problem: all query terms' postings
+for that doc range. Shard-local exact top-k → global
+`orderBy(score desc, doc_id asc).limit(k)` — correct because the global
+top-k is a subset of the union of shard top-ks; AND semantics are exact
+per shard because a doc's postings for *every* term live in its shard.
+
+Block-max pruning: per-term per-block upper bound
+ub = idf*(k1+1)*block_max_impact (the "zone map" Catalyst can't give
+us — it prunes files/partitions, not posting blocks). The doc space is
+walked in elementary segments between block boundaries; a segment is
+decoded only if Σ active-block ubs can beat the running k-th score
+(strictly: skipped only when ub < θ, so score ties that lose on the
+doc_id tie-break can never be wrongly pruned).
+
+Rank-identity: contributions come from query/scoring.bm25_contrib —
+the same float64 expression the brute-force oracle uses — accumulated
+in lexicographic term order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ela_lib_spark import BM25_K1
+from ela_lib_spark.index.codecs import decode_block
+from ela_lib_spark.query.scoring import bm25_contrib, idf
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def _compact(ids: np.ndarray, scores: np.ndarray, k: int):
+    """Keep exact top-k by (score desc, doc_id asc)."""
+    if len(ids) <= k:
+        return ids, scores
+    order = np.lexsort((ids, -scores))[:k]
+    order.sort()  # keep doc-id order internally (irrelevant but stable)
+    return ids[order], scores[order]
+
+
+def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int, avg_dl: float, codec: str):
+    terms_sorted = sorted(set(terms))
+    nt = len(terms_sorted)
+    is_and = mode.upper() == "AND"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        present = set(pdf["term"])
+        if is_and and not all(t in present for t in terms_sorted):
+            return empty
+
+        per = {}
+        bounds = []
+        for t, g in pdf.groupby("term"):
+            g = g.sort_values("first_doc_id").reset_index(drop=True)
+            idf_t = float(idf(int(g["df"].iloc[0]), n_docs))
+            per[t] = {
+                "idf": idf_t,
+                "first": g["first_doc_id"].to_numpy(np.int64),
+                "last": g["last_doc_id"].to_numpy(np.int64),
+                "ub": idf_t * (BM25_K1 + 1.0) * g["block_max_impact"].to_numpy(),
+                "rows": g,
+                "decoded": {},
+            }
+            bounds.append(per[t]["first"])
+            bounds.append(per[t]["last"] + 1)
+        cuts = np.unique(np.concatenate(bounds))
+
+        top_ids = np.empty(0, np.int64)
+        top_scores = np.empty(0, np.float64)
+        theta = -np.inf
+
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            active = []
+            ub_sum = 0.0
+            for t in terms_sorted:
+                p = per.get(t)
+                if p is None:
+                    continue
+                i = int(np.searchsorted(p["first"], s, side="right")) - 1
+                if i >= 0 and p["last"][i] >= s and p["first"][i] < e:
+                    active.append((t, i))
+                    ub_sum += float(p["ub"][i])
+            if is_and and len(active) < nt:
+                continue
+            if not active:
+                continue
+            if len(top_ids) >= k and ub_sum < theta:
+                continue  # block-max skip: cannot beat current k-th score
+
+            arrs = []
+            for t, i in active:
+                p = per[t]
+                if i not in p["decoded"]:
+                    r = p["rows"].iloc[i]
+                    p["decoded"][i] = decode_block(
+                        r["doc_ids_delta"], r["tfs"], r["dls"],
+                        int(r["n_docs"]), int(r["first_doc_id"]), codec,
+                    )
+                ids_b, tfs_b, dls_b = p["decoded"][i]
+                lo, hi = np.searchsorted(ids_b, [s, e])
+                if lo < hi:
+                    arrs.append((ids_b[lo:hi], tfs_b[lo:hi], dls_b[lo:hi], p["idf"]))
+            if not arrs:
+                continue
+            union = np.unique(np.concatenate([a[0] for a in arrs]))
+            score = np.zeros(len(union), np.float64)
+            cnt = np.zeros(len(union), np.int64)
+            for ids_t, tf_t, dl_t, idf_t in arrs:  # lexicographic term order
+                pos = np.searchsorted(union, ids_t)
+                score[pos] += bm25_contrib(tf_t, dl_t, idf_t, avg_dl)
+                cnt[pos] += 1
+            if is_and:
+                m = cnt == nt
+                union, score = union[m], score[m]
+            if len(union) == 0:
+                continue
+            top_ids = np.concatenate([top_ids, union])
+            top_scores = np.concatenate([top_scores, score])
+            if len(top_ids) > 4 * k:
+                top_ids, top_scores = _compact(top_ids, top_scores, k)
+            if len(top_ids) >= k:
+                theta = (
+                    top_scores[np.argpartition(-top_scores, k - 1)[k - 1]]
+                    if len(top_scores) > k
+                    else top_scores.min()
+                )
+
+        top_ids, top_scores = _compact(top_ids, top_scores, k)
+        return pd.DataFrame({"doc_id": top_ids, "score": top_scores})
+
+    return fn
+
+
+def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> DataFrame:
+    """Distributed top-k. `index` is index.build.load_index output.
+
+    The term filter pushes down to the postings parquet scan (files are
+    sorted by term → row-group min/max pruning).
+    """
+    m = index["manifest"]
+    q = index["postings"].filter(F.col("term").isin(sorted(set(terms))))
+    shard_tops = q.groupBy("shard").applyInPandas(
+        _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"]),
+        schema=RESULT_SCHEMA,
+    )
+    return shard_tops.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,109 @@
+"""End-to-end index build + rank-identity of the WAND executor vs the
+brute-force oracle (FIXTURES.md §2) — exact float64 score equality."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ela_lib_spark.index.build import METRICS_TERM
+from ela_lib_spark.index.codecs import decode_block
+from ela_lib_spark.oracle.brute import brute_topk
+from ela_lib_spark.query.bm25 import bm25_topk_flat, flat_postings
+from ela_lib_spark.query.wand import wand_topk
+from ela_lib_spark.sources.synth import reference_queries
+from tests.conftest import N_TEST_DOCS
+
+
+def test_manifest_counts(index):
+    m = index["manifest"]
+    assert m["n_docs"] == N_TEST_DOCS
+    assert index["doc_stats"].count() == N_TEST_DOCS
+    assert m["avg_dl"] > 0
+
+
+def test_doc_ids_unique_and_sorted_within_shard(index):
+    ds = index["doc_stats"]
+    assert ds.select("doc_id").distinct().count() == ds.count()
+
+
+def test_df_metadata_matches_truth(index, corpus_tokens):
+    # df stored on posting rows == number of docs containing the term
+    for term in ["term0000", "term0050", "term3000"]:
+        truth = sum(1 for toks in corpus_tokens.values() if term in toks)
+        rows = index["postings"].filter(F.col("term") == term).select("df").distinct().collect()
+        if truth == 0:
+            assert rows == []
+        else:
+            assert len(rows) == 1 and rows[0].df == truth
+
+
+def test_postings_decode_matches_truth(index, corpus_tokens):
+    term = "term0123"
+    truth = {
+        d: toks.count(term) for d, toks in corpus_tokens.items() if term in toks
+    }
+    rows = (
+        index["postings"]
+        .filter(F.col("term") == term)
+        .orderBy("shard", "block_id")
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        ids, tfs, dls = decode_block(
+            r.doc_ids_delta, r.tfs, r.dls, r.n_docs, r.first_doc_id,
+            index["manifest"]["codec"],
+        )
+        for d, tf, dl in zip(ids, tfs, dls):
+            assert d not in got
+            got[int(d)] = int(tf)
+            assert dl == len(corpus_tokens[int(d)])
+    assert got == truth
+
+
+def test_ledger_covers_all_buckets(index):
+    from tests.conftest import N_BUCKETS
+
+    ledger = index["ledger"]
+    rows = ledger.collect()
+    assert {r.status for r in rows} == {"done"}
+    assert sum(r.n_docs for r in rows) == N_TEST_DOCS
+    assert len(rows) <= N_BUCKETS
+    assert index["postings"].filter(F.col("term") == METRICS_TERM).count() == 0
+
+
+@pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["name"])
+def test_wand_rank_identical_to_brute(spark, index, corpus_tokens, q):
+    m = index["manifest"]
+    want = brute_topk(
+        corpus_tokens, q["terms"], q["mode"], k=10,
+        n_docs=m["n_docs"], avg_dl=m["avg_dl"],
+    )
+    got = [
+        (r.doc_id, r.score)
+        for r in wand_topk(index, q["terms"], q["mode"], k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], q["name"]
+    # exact float64 equality — shared scoring kernel + fixed term order
+    assert all(gs == ws for (_, gs), (_, ws) in zip(got, want)), q["name"]
+
+
+def test_flat_path_matches_brute_ranks(spark, index, corpus_tokens):
+    """Closed-form built-in path: ranks must match (scores to 1e-9 —
+    JVM sum order may differ in the last ulp)."""
+    m = index["manifest"]
+    tokens_df = spark.createDataFrame(
+        [(d, t) for d, t in corpus_tokens.items()], "doc_id long, tokens array<string>"
+    )
+    postings = flat_postings(tokens_df)
+    for q in reference_queries()[:4]:
+        want = brute_topk(corpus_tokens, q["terms"], q["mode"], k=10,
+                          n_docs=m["n_docs"], avg_dl=m["avg_dl"])
+        got = bm25_topk_flat(
+            postings, index["doc_stats"], m["n_docs"], m["avg_dl"],
+            q["terms"], q["mode"], k=10,
+        ).collect()
+        assert [r.doc_id for r in got] == [d for d, _ in want], q["name"]
+        assert all(
+            abs(r.score - ws) < 1e-9 for r, (_, ws) in zip(got, want)
+        ), q["name"]
