@@ -1,0 +1,128 @@
+"""spark-submit entrypoint (north star: `spark-submit --py-files
+ela_lib_spark.zip ela_lib_spark/cli.py <cmd> ...`).
+
+Subcommands mirror the reference's task actions
+(/root/reference/config/cfg.go:5-13: copy_index, sync, sync_diff,
+compare, import, export, create_template) plus the internalized search
+engine (build_index, query, synth).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ela_lib_spark")
+    p.add_argument("--master", default=None)
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="generate deterministic web_pages parquet")
+    s.add_argument("out")
+    s.add_argument("--n-docs", type=int, default=10000)
+
+    b = sub.add_parser("build_index")
+    b.add_argument("pages")
+    b.add_argument("out")
+    b.add_argument("--n-buckets", type=int, default=32)
+    b.add_argument("--n-shards", type=int, default=8)
+    b.add_argument("--codec", default="varint", choices=["varint", "pfor"])
+    b.add_argument("--use-html", action="store_true")
+    b.add_argument("--resume", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("index_dir")
+    q.add_argument("terms", nargs="+")
+    q.add_argument("--mode", default="OR", choices=["OR", "AND"])
+    q.add_argument("-k", type=int, default=10)
+
+    c = sub.add_parser("compare")
+    c.add_argument("src")
+    c.add_argument("tgt")
+    c.add_argument("--key", default="url")
+
+    sd = sub.add_parser("sync_diff")
+    sd.add_argument("src")
+    sd.add_argument("tgt")
+    sd.add_argument("out")
+    sd.add_argument("--key", default="url")
+
+    e = sub.add_parser("export")
+    e.add_argument("src")
+    e.add_argument("out")
+    e.add_argument("--index-name", default="export")
+    e.add_argument("--key", default="url")
+
+    i = sub.add_parser("import")
+    i.add_argument("src_dir")
+    i.add_argument("out")
+
+    args = p.parse_args(argv)
+
+    from ela_lib_spark.session import get_spark
+
+    master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
+    spark = get_spark("ela_lib_spark_cli", master=master)
+
+    if args.cmd == "synth":
+        from ela_lib_spark.sources.synth import write_web_pages
+
+        write_web_pages(spark, args.n_docs, args.out)
+        print(json.dumps({"written": args.n_docs, "path": args.out}))
+    elif args.cmd == "build_index":
+        from ela_lib_spark.index.build import build_index
+
+        pages = spark.read.parquet(args.pages)
+        m = build_index(
+            spark, pages, args.out, n_buckets=args.n_buckets,
+            n_shards=args.n_shards, codec=args.codec,
+            use_html=args.use_html, resume=args.resume,
+        )
+        print(json.dumps(m))
+    elif args.cmd == "query":
+        from ela_lib_spark.index.build import load_index
+        from ela_lib_spark.query.wand import wand_topk
+
+        idx = load_index(spark, args.index_dir)
+        rows = wand_topk(idx, args.terms, args.mode, args.k).collect()
+        for r in rows:
+            print(json.dumps({"doc_id": r.doc_id, "score": r.score}))
+    elif args.cmd == "compare":
+        from ela_lib_spark.operators.diff import classify_diff, diff_result
+
+        res = diff_result(
+            classify_diff(
+                spark.read.parquet(args.src), spark.read.parquet(args.tgt), args.key
+            )
+        )
+        print(json.dumps(res))
+    elif args.cmd == "sync_diff":
+        from ela_lib_spark.operators.diff import sync_diff_apply
+
+        out = sync_diff_apply(
+            spark.read.parquet(args.src), spark.read.parquet(args.tgt), args.key
+        )
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out}))
+    elif args.cmd == "export":
+        from ela_lib_spark.sources.ndjson import export_index
+
+        m = export_index(
+            spark.read.parquet(args.src), args.out, args.index_name, key=args.key
+        )
+        print(json.dumps({"total": m["total"], "files": len(m["files"])}))
+    elif args.cmd == "import":
+        from ela_lib_spark.sources.ndjson import import_index
+
+        df, m = import_index(spark, args.src_dir)
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"imported": m["total"], "path": args.out}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

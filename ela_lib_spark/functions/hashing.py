@@ -26,9 +26,15 @@ def _token_hashes(tokens, seed: int = 0) -> np.ndarray:
 
 
 def shingle_col(tokens_col, n: int = 3) -> Column:
-    """JVM-side n-gram shingles over a token array column."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)))
+    """JVM-side n-gram shingles over a token array column.
+
+    Guarded: Spark's sequence(1, 0) counts DOWN ([1, 0]), so short docs
+    must short-circuit to an empty array."""
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n))),
+    ).otherwise(F.array().cast(T.ArrayType(T.StringType())))
 
 
 def minhash_params(num_hashes: int, seed: int = 42):

@@ -192,43 +192,69 @@ def build_chunks(
 # ------------------------------------------------------------- stage B
 
 
-def _merge_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
+def _merge_group(out: dict, term, shard: int, df_val: int, g: pd.DataFrame,
+                 avg_dl: float, codec: str, block_size: int) -> None:
+    """Merge one (term, shard) group's chunks into encoded blocks."""
     k1, b = BM25_K1, BM25_B
+    ids_l, tfs_l, dls_l = [], [], []
+    for r in g.itertuples(index=False):
+        deltas = varint_decode(r.doc_ids, r.n_docs).astype(np.int64)
+        ids = np.cumsum(deltas) + (r.first_doc_id - int(deltas[0]))
+        ids_l.append(ids)
+        tfs_l.append(varint_decode(r.tfs, r.n_docs).astype(np.int64))
+        dls_l.append(varint_decode(r.dls, r.n_docs).astype(np.int64))
+    ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0]
+    tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
+    dls = np.concatenate(dls_l) if len(dls_l) > 1 else dls_l[0]
+    impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
+    for blk, s in enumerate(range(0, len(ids), block_size)):
+        e = min(s + block_size, len(ids))
+        d_enc, t_enc, l_enc, first, last = encode_block(
+            ids[s:e], tfs[s:e], dls[s:e], codec
+        )
+        out["term"].append(term)
+        out["shard"].append(shard)
+        out["block_id"].append(blk)
+        out["first_doc_id"].append(first)
+        out["last_doc_id"].append(last)
+        out["doc_ids_delta"].append(d_enc)
+        out["tfs"].append(t_enc)
+        out["dls"].append(l_enc)
+        out["n_docs"].append(e - s)
+        out["block_max_impact"].append(float(impact[s:e].max()))
+        out["df"].append(df_val)
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("first_doc_id")
-        ids_l, tfs_l, dls_l = [], [], []
-        for r in pdf.itertuples(index=False):
-            deltas = varint_decode(r.doc_ids, r.n_docs).astype(np.int64)
-            ids = np.cumsum(deltas) + (r.first_doc_id - int(deltas[0]))
-            ids_l.append(ids)
-            tfs_l.append(varint_decode(r.tfs, r.n_docs).astype(np.int64))
-            dls_l.append(varint_decode(r.dls, r.n_docs).astype(np.int64))
-        ids = np.concatenate(ids_l)
-        tfs = np.concatenate(tfs_l)
-        dls = np.concatenate(dls_l)
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        df_val = int(pdf["df"].iloc[0])
-        impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
+
+def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
+    """mapInPandas merge: the input partition is sorted by
+    (term, shard, first_doc_id); groups are detected by key change and
+    the trailing (possibly batch-spanning) group is buffered. This
+    avoids applyInPandas's per-group JVM round trip — critical because
+    the zipf long tail makes most groups tiny."""
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in POSTINGS.fieldNames()}
-        for blk, s in enumerate(range(0, len(ids), block_size)):
-            e = min(s + block_size, len(ids))
-            d_enc, t_enc, l_enc, first, last = encode_block(
-                ids[s:e], tfs[s:e], dls[s:e], codec
-            )
-            out["term"].append(term)
-            out["shard"].append(shard)
-            out["block_id"].append(blk)
-            out["first_doc_id"].append(first)
-            out["last_doc_id"].append(last)
-            out["doc_ids_delta"].append(d_enc)
-            out["tfs"].append(t_enc)
-            out["dls"].append(l_enc)
-            out["n_docs"].append(e - s)
-            out["block_max_impact"].append(float(impact[s:e].max()))
-            out["df"].append(df_val)
+        for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
+            _merge_group(out, term, int(shard), int(g["df"].iloc[0]), g,
+                         avg_dl, codec, block_size)
         return pd.DataFrame(out)
+
+    def fn(it):
+        buf = None
+        for pdf in it:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["shard"].iloc[-1]
+            mask_last = (pdf["term"] == last_t) & (pdf["shard"] == last_s)
+            buf = pdf[mask_last]
+            body = pdf[~mask_last]
+            if len(body):
+                yield process(body)
+        if buf is not None and len(buf):
+            yield process(buf)
 
     return fn
 
@@ -239,19 +265,25 @@ def merge_chunks(
     n_shards: int,
     n_buckets: int,
     codec: str = CODEC_VARINT,
+    merge_partitions: int | None = None,
 ) -> DataFrame:
     """Stage B: salted merge. shard = bucket-range group (order-preserving
     salt); df per term aggregated from chunk metadata (cheap — no
-    decode), then carried into each salted group."""
+    decode), then carried into each salted group. The shuffle is an
+    explicit repartition on (term, shard) + in-partition sort; the merge
+    itself streams through mapInPandas (see _merge_stream_fn)."""
     group = max(1, (n_buckets + n_shards - 1) // n_shards)
     pre = chunks.filter(F.col("term") != METRICS_TERM).withColumn(
         "shard", (F.col("part_id") / group).cast("int")
     )
     df_tbl = pre.groupBy("term").agg(F.sum("n_docs").alias("df"))
     joined = pre.join(df_tbl, "term")
-    return joined.groupBy("term", "shard").applyInPandas(
-        _merge_fn(avg_dl, codec), schema=POSTINGS
+    if merge_partitions is None:
+        merge_partitions = max(n_shards, 8)
+    part = joined.repartition(merge_partitions, "term", "shard").sortWithinPartitions(
+        "term", "shard", "first_doc_id"
     )
+    return part.mapInPandas(_merge_stream_fn(avg_dl, codec), schema=POSTINGS)
 
 
 # ------------------------------------------------------------ pipeline
@@ -287,9 +319,10 @@ def build_index(
             .collect()
         }
 
-    # job 1: doc stats (skip if resuming and present — ids are bucket-deterministic)
+    # job 1: doc stats (skip if resuming and complete — ids are
+    # bucket-deterministic; _SUCCESS guards against a crashed write)
     ds_path = os.path.join(out_dir, "doc_stats")
-    if not (resume and os.path.exists(ds_path)):
+    if not (resume and os.path.exists(os.path.join(ds_path, "_SUCCESS"))):
         build_doc_stats(pages, n_buckets, use_html).write.mode("overwrite").parquet(ds_path)
     doc_stats = spark.read.parquet(ds_path)
     n_docs, avg_dl = doc_stats.agg(

@@ -11,8 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ela_lib_spark.session import get_spark  # noqa: E402
 
-N_TEST_DOCS = 3000
-N_BUCKETS = 16
+N_TEST_DOCS = 1500
+N_BUCKETS = 8
 N_SHARDS = 4
 
 
@@ -55,7 +55,10 @@ def index_dir(spark, tmp_root, pages_path):
 def index(spark, index_dir):
     from ela_lib_spark.index.build import load_index
 
-    return load_index(spark, index_dir)
+    idx = load_index(spark, index_dir)
+    idx["postings"] = idx["postings"].cache()
+    idx["postings"].count()
+    return idx
 
 
 @pytest.fixture(scope="session")

@@ -16,14 +16,14 @@ from ela_lib_spark.index.codecs import (
 
 
 @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_varint_roundtrip(xs):
     a = np.asarray(xs, np.uint64)
     assert np.array_equal(varint_decode(varint_encode(a), len(a)), a)
 
 
 @given(st.lists(st.integers(min_value=0, max_value=2**31 - 1), max_size=300))
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=40, deadline=None)
 def test_pfor_roundtrip(xs):
     a = np.asarray(xs, np.uint64)
     assert np.array_equal(pfor_decode(pfor_encode(a), len(a)), a)

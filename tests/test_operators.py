@@ -1,0 +1,204 @@
+"""Dedup, similarity, diff, DSL, export/import, analysis, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ela_lib_spark.functions.analysis import detect_lang, doc_fingerprint, quality_score, token_count
+from ela_lib_spark.functions.hashing import shingle_col
+from ela_lib_spark.functions.multimodal import extract_image_features, synth_media_df
+from ela_lib_spark.functions.text import tokenize_col
+from ela_lib_spark.operators.dedup import (
+    connected_components,
+    dedup_exact,
+    dedup_minhash_lsh,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from ela_lib_spark.operators.diff import classify_diff, diff_result, sync_diff_apply
+from ela_lib_spark.operators.similarity import ann_topk_srp, cosine_topk
+from ela_lib_spark.plans.dsl import DslError, dsl_filter, dsl_to_column
+from ela_lib_spark.sources.ndjson import export_index, import_index
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup of 1
+        (4, "completely different content about spark engines", "en"),
+        (5, "der schnelle braune fuchs springt und ist nicht da", "de"),
+        (6, "le renard brun rapide saute par dessus le chien", "fr"),
+        (7, "data engines spark completely different thoughts", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact(docs):
+    kept = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5, 6, 7]
+
+
+def test_minhash_lsh_dedup(docs):
+    kept = sorted(
+        r.doc_id
+        for r in dedup_minhash_lsh(docs, threshold=0.5, num_bands=32).collect()
+    )
+    # 2 is an exact dup (jaccard 1.0) → removed; 3 differs by one token
+    assert 1 in kept and 2 not in kept
+    assert {4, 5, 6, 7} <= set(kept)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+
+
+def test_simhash_near_dups(spark, docs):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 10
+    near = base.replace("echo", "zulu", 1)
+    far = "completely unrelated words about distributed query planning " * 10
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    sigs = simhash_signatures(df)
+    sig = {r.doc_id: r.simhash for r in sigs.collect()}
+    true_ham = bin((sig[1] ^ sig[3]) & (2**64 - 1)).count("1")
+    pairs = {(r.a, r.b): r.hamming for r in
+             simhash_near_dup_pairs(sigs, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text → identical simhash
+    # candidate generation guarantees recall for hamming ≤ 3 (4-chunk pigeonhole)
+    if true_ham <= 3:
+        assert pairs.get((1, 3)) == true_ham
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)], "a long, b long"
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(shingle_col(tokenize_col(F.col("text")), 3).alias("sh")).collect()
+    assert list(out[0].sh) == []
+    assert list(out[1].sh) == ["a b c", "b c d"]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs[0].tolist()
+    got = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+    sims = vecs @ np.array(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = list(np.lexsort((np.arange(50), -np.round(sims, 6)))[:5])
+    assert got == want
+
+
+def test_ann_srp_recall(spark):
+    # planted near-neighbors: 9 noisy copies of the query among 300
+    # isotropic distractors — the regime ANN is for
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal(16)
+    planted = q[None, :] + 0.15 * rng.standard_normal((9, 16))
+    distract = rng.standard_normal((291, 16))
+    vecs = np.vstack([planted, distract])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {r.vec_id for r in cosine_topk(df, q.tolist(), k=9).collect()}
+    assert exact == set(range(9))  # sanity: planted docs are the true top-9
+    approx = {r.vec_id for r in
+              ann_topk_srp(df, q.tolist(), k=9, n_planes=8, probe_hamming=2).collect()}
+    assert len(exact & approx) >= 7  # high recall on genuine neighbors
+
+
+def test_dsl_clauses(spark, docs):
+    assert dsl_filter(docs, {"term": {"lang": "de"}}, "doc_id").count() == 1
+    assert dsl_filter(docs, {"ids": {"values": [1, 2]}}, "doc_id").count() == 2
+    assert dsl_filter(docs, {"terms": {"_id": [1, 5, 6]}}, "doc_id").count() == 3
+    assert dsl_filter(docs, {"match": {"text": "FOX! cat"}}, "doc_id").count() == 3
+    assert dsl_filter(
+        docs,
+        {"bool": {"must": [{"term": {"lang": "en"}}],
+                  "must_not": [{"match": {"text": "spark"}}]}},
+        "doc_id",
+    ).count() == 3
+    assert dsl_filter(docs, {"range": {"doc_id": {"gte": 2, "lt": 4}}}, "doc_id").count() == 2
+    with pytest.raises(DslError):
+        dsl_to_column({"fuzzy": {"text": "x"}})
+
+
+def test_diff_and_sync_diff(spark, docs):
+    src = docs
+    tgt = (
+        docs.filter(F.col("doc_id") != 1)  # 1 missing → create
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 4, F.lit("mutated")).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame([(99, "extra row", "en")],
+                                  "doc_id long, text string, lang string")
+        )
+    )
+    res = diff_result(classify_diff(src, tgt, key="doc_id"))
+    assert res == {
+        "same": 5, "update": 1, "create": 1, "delete": 1,
+        "total": 8, "percent_same": 62.5,
+    }
+    merged = sync_diff_apply(src, tgt, key="doc_id")
+    assert diff_result(classify_diff(src, merged, key="doc_id"))["same"] == 7
+
+
+def test_export_import_roundtrip(spark, docs, tmp_root):
+    import os
+
+    d = os.path.join(tmp_root, "export_docs")
+    man = export_index(docs, d, "docs", key="doc_id")
+    assert man["total"] == 7 and man["index"] == "docs"
+    back, man2 = import_index(spark, d)
+    assert back.columns == docs.columns
+    res = diff_result(classify_diff(docs, back, key="doc_id"))
+    assert res["same"] == 7 and res["total"] == 7
+
+
+def test_analysis_functions(spark, docs):
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        detect_lang(F.col("text")).alias("lg"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n == 9
+    assert by_id[1].fp == by_id[2].fp  # identical analyzed stream
+    assert by_id[1].lg == "en"
+    assert by_id[5].lg == "de"
+    assert by_id[6].lg == "fr"
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media_df(spark, 32)
+    feats = extract_image_features(media).collect()
+    assert len(feats) == media.filter(F.col("kind") == "image").count()
+    f0 = feats[0]
+    assert f0.width > 0 and f0.height > 0 and len(f0.feature) == 16
+    assert len(f0.sha256) == 64
