@@ -51,6 +51,9 @@ def _new_spark(cores: int):
     return get_spark(
         f"bench-{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(8, cores), driver_memory="48g",
+        # small synthetic inputs produce few parquet files; split them so
+        # map-stage parallelism isn't capped below the core count
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
     )
 
 
@@ -111,18 +114,37 @@ def main():
     result["wand_p95_sec"] = round(sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 3)
     spark.stop()
 
-    # 4. scaling evidence: same input, N vs 4N cores
+    # 4. scaling evidence: same input, N vs 4N cores — each level in a
+    # FRESH subprocess (a reused local JVM contaminates timings with
+    # leftover heap/threads from the previous context)
     if not SKIP_SCALING:
+        import subprocess
+
         lo, hi = max(2, CPUS // 4), CPUS
         t_by_cores = {}
+        me = os.path.dirname(os.path.abspath(__file__))
         for cores in (lo, hi):
-            s = _new_spark(cores)
-            _, secs = bench_build(
-                s, pages_path, os.path.join(work, f"idx_{cores}"),
-                n_buckets, n_shards,
+            code = (
+                "import sys, time, json; sys.path.insert(0, %r)\n"
+                "from bench import _new_spark, bench_build\n"
+                "s = _new_spark(%d)\n"
+                "_, secs = bench_build(s, %r, %r, %d, %d)\n"
+                "s.stop()\n"
+                "print('SECS=' + str(secs))\n"
+            ) % (me, cores, pages_path, os.path.join(work, f"idx_{cores}"),
+                 n_buckets, n_shards)
+            env = dict(os.environ, BENCH_SKIP_SCALING="1")
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                env=env, timeout=1800,
             )
-            t_by_cores[cores] = secs
-            s.stop()
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("SECS=")]
+            if not line:
+                print(f"# scaling run {cores}c failed: {out.stderr[-500:]}",
+                      file=sys.stderr)
+                t_by_cores[cores] = float("nan")
+                continue
+            t_by_cores[cores] = float(line[0][5:])
         eff = (t_by_cores[lo] / t_by_cores[hi]) / (hi / lo)
         result["scaling"] = {
             f"docs_per_sec_{lo}c": round(N_DOCS / t_by_cores[lo], 1),

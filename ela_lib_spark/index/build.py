@@ -50,6 +50,7 @@ from ela_lib_spark.index.codecs import (
     encode_block,
     varint_decode,
     varint_encode,
+    varint_encode_segmented,
 )
 from ela_lib_spark.schemas import BLOCK_SIZE, POSTING_CHUNKS, POSTINGS
 
@@ -84,11 +85,33 @@ def with_doc_ids(tokens_df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def build_doc_stats(pages: DataFrame, n_buckets: int, use_html: bool = False) -> DataFrame:
-    df = with_doc_ids(pages_with_tokens(pages, use_html), n_buckets)
-    return df.select(
+def ids_with_tokens(pages: DataFrame, n_buckets: int, use_html: bool = False) -> DataFrame:
+    """Scale-tuned id assignment: the shuffle moves (url, text) — NOT
+    token arrays — and tokenization runs in the post-shuffle stage, so
+    its parallelism follows shuffle partitions (≈ cluster cores), not
+    the input file count. html→text extraction stays map-side (it
+    shrinks the payload). Same deterministic ids as with_doc_ids."""
+    text = extract_text(F.col("html")) if use_html else F.col("text")
+    base = pages.select("url", text.alias("text"))
+    w = Window.partitionBy("bucket").orderBy("url")
+    ids = (
+        base.withColumn("bucket", bucket_expr(n_buckets))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("doc_id", doc_id_expr())
+    )
+    return ids.select(
+        "url", "bucket", "doc_id", tokenize_col(F.col("text")).alias("tokens")
+    )
+
+
+def doc_stats_from_ids(ids_df: DataFrame) -> DataFrame:
+    return ids_df.select(
         "doc_id", "url", F.size("tokens").cast("long").alias("doc_len"), "bucket"
     )
+
+
+def build_doc_stats(pages: DataFrame, n_buckets: int, use_html: bool = False) -> DataFrame:
+    return doc_stats_from_ids(with_doc_ids(pages_with_tokens(pages, use_html), n_buckets))
 
 
 # ------------------------------------------------------------- stage A
@@ -99,30 +122,47 @@ def _spimi_fn(missing_buckets=None):
 
     def fn(it):
         t0 = time.monotonic()
-        # acc[(bucket, term)] = [ids_parts, tfs_parts, dls_parts]
-        acc: dict = {}
+        frames: list[pd.DataFrame] = []  # per-batch (bucket,term,doc_id,tf,dl)
         pending = 0
         bucket_docs: dict = {}
         bucket_tokens: dict = {}
 
         def flush():
-            nonlocal acc, pending
-            rows = {k: [] for k in POSTING_CHUNKS.fieldNames()}
-            for (bkt, term), (ids_l, tfs_l, dls_l) in acc.items():
-                ids = np.concatenate(ids_l)
-                tfs = np.concatenate(tfs_l)
-                dls = np.concatenate(dls_l)
-                rows["term"].append(term)
-                rows["part_id"].append(bkt)
-                rows["shard"].append(0)
-                rows["doc_ids"].append(varint_encode(np.diff(ids, prepend=ids[0])))
-                rows["tfs"].append(varint_encode(tfs))
-                rows["dls"].append(varint_encode(dls))
-                rows["n_docs"].append(len(ids))
-                rows["first_doc_id"].append(int(ids[0]))
-            acc = {}
+            nonlocal frames, pending
+            allf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            frames = []
             pending = 0
-            return pd.DataFrame(rows)
+            # stable multi-key sort: within (bucket, term) the original
+            # order — ascending doc_id across batches — is preserved
+            allf = allf.sort_values(["bucket", "term"], kind="stable",
+                                    ignore_index=True)
+            b_arr = allf["bucket"].to_numpy(np.int64)
+            t_arr = allf["term"].to_numpy()
+            ids = allf["doc_id"].to_numpy(np.int64)
+            tfs = allf["tf"].to_numpy(np.int64)
+            dls = allf["dl"].to_numpy(np.int64)
+            n = len(allf)
+            new_chunk = np.ones(n, bool)
+            if n > 1:
+                new_chunk[1:] = (b_arr[1:] != b_arr[:-1]) | (t_arr[1:] != t_arr[:-1])
+            starts = np.flatnonzero(new_chunk)
+            counts = np.diff(np.append(starts, n))
+            d = np.empty(n, np.int64)
+            d[0] = 0
+            np.subtract(ids[1:], ids[:-1], out=d[1:])
+            d[starts] = 0  # chunk delta streams start at 0 (decoder contract)
+            return pd.DataFrame(
+                {
+                    "term": t_arr[starts],
+                    "part_id": b_arr[starts].astype(np.int32),
+                    "shard": np.zeros(len(starts), np.int32),
+                    "doc_ids": varint_encode_segmented(d, counts),
+                    "tfs": varint_encode_segmented(tfs, counts),
+                    "dls": varint_encode_segmented(dls, counts),
+                    "n_docs": counts,
+                    "first_doc_id": ids[starts],
+                }
+            )
 
         for pdf in it:
             if len(pdf) == 0:
@@ -137,10 +177,10 @@ def _spimi_fn(missing_buckets=None):
                     else np.array([], dtype=object),
                 }
             )
-            for b, n in pdf.groupby("bucket")["doc_id"].count().items():
-                bucket_docs[b] = bucket_docs.get(b, 0) + int(n)
-            for b, n in ex.groupby("bucket")["term"].count().items():
-                bucket_tokens[b] = bucket_tokens.get(b, 0) + int(n)
+            for b, cnt in pdf.groupby("bucket")["doc_id"].count().items():
+                bucket_docs[b] = bucket_docs.get(b, 0) + int(cnt)
+            for b, cnt in ex.groupby("bucket")["term"].count().items():
+                bucket_tokens[b] = bucket_tokens.get(b, 0) + int(cnt)
             tf = (
                 ex.groupby(["bucket", "term", "doc_id"], sort=True)
                 .size()
@@ -148,15 +188,11 @@ def _spimi_fn(missing_buckets=None):
             )
             dl_map = pd.Series(dl.values, index=pdf["doc_id"].values)
             tf["dl"] = tf["doc_id"].map(dl_map)
-            for (b, term), g in tf.groupby(["bucket", "term"], sort=False):
-                slot = acc.setdefault((b, term), ([], [], []))
-                slot[0].append(g["doc_id"].to_numpy(np.int64))
-                slot[1].append(g["tf"].to_numpy(np.int64))
-                slot[2].append(g["dl"].to_numpy(np.int64))
+            frames.append(tf)
             pending += len(tf)
             if pending >= FLUSH_POSTINGS:
                 yield flush()
-        if acc:
+        if frames:
             yield flush()
         # one metrics row per bucket seen by this partition (ledger feed)
         if bucket_docs:
@@ -177,15 +213,20 @@ def _spimi_fn(missing_buckets=None):
     return fn
 
 
+def chunks_from_ids(ids_df: DataFrame, skip_buckets=None) -> DataFrame:
+    """Stage A: SPIMI posting chunks, one+ per (bucket, term)."""
+    if skip_buckets:
+        ids_df = ids_df.filter(~F.col("bucket").isin(list(skip_buckets)))
+    return ids_df.select("bucket", "doc_id", "tokens").mapInPandas(
+        _spimi_fn(), schema=POSTING_CHUNKS
+    )
+
+
 def build_chunks(
     pages: DataFrame, n_buckets: int, use_html: bool = False, skip_buckets=None
 ) -> DataFrame:
-    """Stage A: SPIMI posting chunks, one+ per (bucket, term)."""
-    ids = with_doc_ids(pages_with_tokens(pages, use_html), n_buckets)
-    if skip_buckets:
-        ids = ids.filter(~F.col("bucket").isin(list(skip_buckets)))
-    return ids.select("bucket", "doc_id", "tokens").mapInPandas(
-        _spimi_fn(), schema=POSTING_CHUNKS
+    return chunks_from_ids(
+        with_doc_ids(pages_with_tokens(pages, use_html), n_buckets), skip_buckets
     )
 
 
@@ -225,6 +266,88 @@ def _merge_group(out: dict, term, shard: int, df_val: int, g: pd.DataFrame,
         out["df"].append(df_val)
 
 
+def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
+                            block_size: int) -> pd.DataFrame:
+    """Whole-batch merge with ~20 numpy calls total, independent of the
+    number of (term, shard) groups — the zipf tail makes most groups
+    tiny, so per-group work must be O(0). varint codec only."""
+    k1, b = BM25_K1, BM25_B
+    n = pdf["n_docs"].to_numpy(np.int64)
+    total = int(n.sum())
+    nrows = len(pdf)
+    term_arr = pdf["term"].to_numpy()
+    shard_arr = pdf["shard"].to_numpy()
+    first_arr = pdf["first_doc_id"].to_numpy(np.int64)
+
+    # decode the concatenated streams in one call each
+    deltas = varint_decode(b"".join(pdf["doc_ids"]), total).astype(np.int64)
+    tfs = varint_decode(b"".join(pdf["tfs"]), total).astype(np.int64)
+    dls = varint_decode(b"".join(pdf["dls"]), total).astype(np.int64)
+
+    chunk_starts = np.zeros(nrows, np.int64)
+    np.cumsum(n[:-1], out=chunk_starts[1:])
+    # ids: within-chunk cumsum (chunk delta streams start with 0)
+    cs = np.cumsum(deltas)
+    ids = cs - np.repeat(cs[chunk_starts] - deltas[chunk_starts], n) + np.repeat(
+        first_arr, n
+    )
+
+    impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
+
+    # group boundaries: consecutive chunks with equal (term, shard)
+    new_group = np.ones(nrows, bool)
+    if nrows > 1:
+        new_group[1:] = (term_arr[1:] != term_arr[:-1]) | (
+            shard_arr[1:] != shard_arr[:-1]
+        )
+    g_chunk = np.flatnonzero(new_group)
+    g_start = chunk_starts[g_chunk]
+    g_end = np.append(g_start[1:], total)
+    g_len = g_end - g_start
+
+    # block tiling of each group
+    nblk = (g_len + block_size - 1) // block_size
+    total_blk = int(nblk.sum())
+    blk_group = np.repeat(np.arange(len(g_start)), nblk)
+    blk_cum = np.zeros(len(g_start), np.int64)
+    np.cumsum(nblk[:-1], out=blk_cum[1:])
+    blk_idx = np.arange(total_blk) - np.repeat(blk_cum, nblk)
+    b_start = g_start[blk_group] + blk_idx * block_size
+    b_end = np.minimum(b_start + block_size, g_end[blk_group])
+    b_n = b_end - b_start
+
+    # per-block metadata (blocks tile [0, total) in order → reduceat)
+    bmax = np.maximum.reduceat(impact, b_start) if total_blk else np.zeros(0)
+    first_ids = ids[b_start]
+    last_ids = ids[b_end - 1]
+
+    # per-block encoded streams: ONE encode per stream, sliced per block
+    d_all = np.empty(total, np.int64)
+    d_all[0] = 0
+    np.subtract(ids[1:], ids[:-1], out=d_all[1:])
+    keep = np.ones(total, bool)
+    keep[b_start] = False  # first id of each block lives in metadata
+    tf_enc = varint_encode_segmented(tfs, b_n)
+    dl_enc = varint_encode_segmented(dls, b_n)
+    d_enc = varint_encode_segmented(d_all[keep], b_n - 1)
+
+    return pd.DataFrame(
+        {
+            "term": term_arr[g_chunk][blk_group],
+            "shard": shard_arr[g_chunk][blk_group].astype(np.int32),
+            "block_id": blk_idx.astype(np.int32),
+            "first_doc_id": first_ids,
+            "last_doc_id": last_ids,
+            "doc_ids_delta": d_enc,
+            "tfs": tf_enc,
+            "dls": dl_enc,
+            "n_docs": b_n.astype(np.int32),
+            "block_max_impact": bmax,
+            "df": pdf["df"].to_numpy(np.int64)[g_chunk][blk_group],
+        }
+    )
+
+
 def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
     """mapInPandas merge: the input partition is sorted by
     (term, shard, first_doc_id); groups are detected by key change and
@@ -233,6 +356,8 @@ def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
     the zipf long tail makes most groups tiny."""
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        if codec == CODEC_VARINT:
+            return _merge_batch_vectorized(pdf, avg_dl, block_size)
         out = {k: [] for k in POSTINGS.fieldNames()}
         for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
             _merge_group(out, term, int(shard), int(g["df"].iloc[0]), g,
@@ -277,12 +402,16 @@ def merge_chunks(
         "shard", (F.col("part_id") / group).cast("int")
     )
     df_tbl = pre.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    # df_tbl is one row per term — tiny next to the chunk data; AQE
+    # turns this into a broadcast join when it fits, leaving the
+    # repartition below as the ONLY shuffle of chunk bytes.
     joined = pre.join(df_tbl, "term")
-    if merge_partitions is None:
-        merge_partitions = max(n_shards, 8)
-    part = joined.repartition(merge_partitions, "term", "shard").sortWithinPartitions(
-        "term", "shard", "first_doc_id"
-    )
+    if merge_partitions is not None:
+        part = joined.repartition(merge_partitions, "term", "shard")
+    else:
+        # session shuffle parallelism (≈ cores) — scales with the cluster
+        part = joined.repartition("term", "shard")
+    part = part.sortWithinPartitions("term", "shard", "first_doc_id")
     return part.mapInPandas(_merge_stream_fn(avg_dl, codec), schema=POSTINGS)
 
 
@@ -299,6 +428,7 @@ def build_index(
     codec: str = CODEC_VARINT,
     use_html: bool = False,
     resume: bool = False,
+    reuse_intermediate: bool = True,
 ) -> dict:
     """Full build: doc_stats → corpus_stats → chunks (resumable) →
     merged postings. Returns the manifest dict.
@@ -319,11 +449,22 @@ def build_index(
             .collect()
         }
 
+    # the id-assigned tokens frame feeds BOTH doc_stats and the SPIMI
+    # chunk stage; persisting it reuses the tokenize+shuffle+sort work
+    # across the two jobs (one corpus pass instead of two). At extreme
+    # scale set reuse_intermediate=False to trade the second pass for
+    # zero persist footprint.
+    ids_df = ids_with_tokens(pages, n_buckets, use_html)
+    if reuse_intermediate:
+        from pyspark import StorageLevel
+
+        ids_df = ids_df.persist(StorageLevel.MEMORY_AND_DISK)
+
     # job 1: doc stats (skip if resuming and complete — ids are
     # bucket-deterministic; _SUCCESS guards against a crashed write)
     ds_path = os.path.join(out_dir, "doc_stats")
     if not (resume and os.path.exists(os.path.join(ds_path, "_SUCCESS"))):
-        build_doc_stats(pages, n_buckets, use_html).write.mode("overwrite").parquet(ds_path)
+        doc_stats_from_ids(ids_df).write.mode("overwrite").parquet(ds_path)
     doc_stats = spark.read.parquet(ds_path)
     n_docs, avg_dl = doc_stats.agg(
         F.count("*").cast("long"), F.avg("doc_len")
@@ -335,9 +476,11 @@ def build_index(
 
     # job 2: SPIMI chunks (append missing buckets only)
     ch_path = os.path.join(out_dir, "chunks")
-    chunks_out = build_chunks(pages, n_buckets, use_html, skip_buckets=done or None)
+    chunks_out = chunks_from_ids(ids_df, skip_buckets=done or None)
     mode = "append" if (resume and os.path.exists(ch_path)) else "overwrite"
     chunks_out.write.mode(mode).parquet(ch_path)
+    if reuse_intermediate:
+        ids_df.unpersist()
     chunks = spark.read.parquet(ch_path)
 
     # ledger derived from committed metrics rows
@@ -359,7 +502,7 @@ def build_index(
     # pushdown on `term` (the query path filters term.isin(...))
     merged = merge_chunks(chunks, float(avg_dl), n_shards, n_buckets, codec)
     (
-        merged.repartition(n_shards, "term")
+        merged.repartition("term")
         .sortWithinPartitions("term", "shard", "block_id")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))

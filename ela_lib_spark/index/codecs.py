@@ -63,6 +63,34 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
     return vals
 
 
+def varint_lengths(arr: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (vectorized)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint64)
+    n = np.ones(len(a), np.int64)
+    for k in range(7, 64, 7):
+        n += (a >= (np.uint64(1) << np.uint64(k))).astype(np.int64)
+    return n
+
+
+def varint_encode_segmented(values: np.ndarray, seg_value_counts: np.ndarray) -> list[bytes]:
+    """Encode `values` once, return per-segment byte strings.
+
+    Segments are consecutive runs of `seg_value_counts[i]` values. ONE
+    vectorized encode for the whole batch; slicing is cheap. This is
+    what makes merging millions of tiny posting lists viable — the
+    zipf long tail means per-list encode calls would dominate.
+    """
+    enc = varint_encode(values)
+    lens = varint_lengths(values)
+    val_ends = np.cumsum(seg_value_counts)  # cumulative → empty segs inherit
+    cl = np.cumsum(lens) if len(lens) else np.zeros(1, np.int64)
+    byte_ends = np.where(val_ends > 0, cl[np.maximum(val_ends, 1) - 1], 0)
+    byte_starts = np.empty(len(val_ends), np.int64)
+    byte_starts[0] = 0
+    byte_starts[1:] = byte_ends[:-1]
+    return [enc[s:e] for s, e in zip(byte_starts, byte_ends)]
+
+
 # ------------------------------------------------------------- bitpacking
 
 

@@ -49,15 +49,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, key: str = "doc_id", num_bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame, key: str = "doc_id", num_bands: int = 16, rows_per_band: int = 4,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
-    """Docs sharing any band hash → candidate pair (a < b)."""
+    """Docs sharing any band hash → candidate pair (a < b).
+
+    Scale guard: a degenerate bucket of n docs yields n²/2 pairs, so
+    buckets over `max_bucket_size` are dropped (a bucket that large is
+    a boilerplate cluster; its members still pair up through their
+    other, more selective bands)."""
     banded = sigs.select(key, *band_cols(F.col("sig"), num_bands, rows_per_band))
     stacked = banded.selectExpr(
         key,
         "stack({}, {}) as (band, bh)".format(
             num_bands, ", ".join(f"{b}, band_{b}" for b in range(num_bands))
         ),
+    )
+    sizes = stacked.groupBy("band", "bh").agg(F.count("*").alias("_n"))
+    stacked = stacked.join(
+        sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"), ["band", "bh"]
     )
     l = stacked.select(F.col(key).alias("a"), "band", "bh")
     r = stacked.select(F.col(key).alias("b"), "band", "bh")
@@ -162,16 +172,25 @@ def simhash_near_dup_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, key: str = "doc_id", text_col: str = "text",
-    shingle_n: int = 3, threshold: float = 0.5,
+    shingle_n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: explode distinct shingles,
-    self-join on shingle, |A∩B| / (|A|+|B|−|A∩B|) ≥ τ."""
+    self-join on shingle, |A∩B| / (|A|+|B|−|A∩B|) ≥ τ.
+
+    Scale guard: `max_shingle_df` drops shingles present in more than
+    that many docs before the self-join (a shingle in n docs costs n²
+    join rows). Dropping them can only *under*-count intersections, so
+    recall-sensitive uses should keep it None; dedup pipelines set it
+    (near-dups share rare shingles too)."""
     sh = df.select(
         F.col(key),
         F.array_distinct(shingle_col(tokenize_col(F.col(text_col)), shingle_n)).alias("sh"),
     )
     sizes = sh.select(key, F.size("sh").alias("n_sh"))
     ex = sh.select(key, F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
+        ex = ex.join(dfreq.filter(F.col("_df") <= max_shingle_df).drop("_df"), "g")
     l = ex.select(F.col(key).alias("a"), "g")
     r = ex.select(F.col(key).alias("b"), "g")
     common = (
