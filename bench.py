@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "30000"))
+# large enough that per-stage compute dominates Spark's fixed job
+# overhead (~5-8s) — required for a meaningful scaling-efficiency number
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "200000"))
 SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -128,8 +130,9 @@ def main():
                 "import sys, time, json; sys.path.insert(0, %r)\n"
                 "from bench import _new_spark, bench_build\n"
                 "s = _new_spark(%d)\n"
-                "_, secs = bench_build(s, %r, %r, %d, %d)\n"
+                "m, secs = bench_build(s, %r, %r, %d, %d)\n"
                 "s.stop()\n"
+                "import sys as _s; print('STAGES=' + str(m.get('stage_secs')), file=_s.stderr)\n"
                 "print('SECS=' + str(secs))\n"
             ) % (me, cores, pages_path, os.path.join(work, f"idx_{cores}"),
                  n_buckets, n_shards)

@@ -439,6 +439,7 @@ def build_index(
     rerunning with resume=True recomputes done-buckets from the data.
     """
     t_start = time.monotonic()
+    stage_secs: dict[str, float] = {}
     done: set[int] = set()
     if resume and os.path.exists(os.path.join(out_dir, "ledger")):
         done = {
@@ -463,8 +464,10 @@ def build_index(
     # job 1: doc stats (skip if resuming and complete — ids are
     # bucket-deterministic; _SUCCESS guards against a crashed write)
     ds_path = os.path.join(out_dir, "doc_stats")
+    _t = time.monotonic()
     if not (resume and os.path.exists(os.path.join(ds_path, "_SUCCESS"))):
         doc_stats_from_ids(ids_df).write.mode("overwrite").parquet(ds_path)
+    stage_secs["doc_stats"] = round(time.monotonic() - _t, 2)
     doc_stats = spark.read.parquet(ds_path)
     n_docs, avg_dl = doc_stats.agg(
         F.count("*").cast("long"), F.avg("doc_len")
@@ -476,9 +479,11 @@ def build_index(
 
     # job 2: SPIMI chunks (append missing buckets only)
     ch_path = os.path.join(out_dir, "chunks")
+    _t = time.monotonic()
     chunks_out = chunks_from_ids(ids_df, skip_buckets=done or None)
     mode = "append" if (resume and os.path.exists(ch_path)) else "overwrite"
     chunks_out.write.mode(mode).parquet(ch_path)
+    stage_secs["chunks"] = round(time.monotonic() - _t, 2)
     if reuse_intermediate:
         ids_df.unpersist()
     chunks = spark.read.parquet(ch_path)
@@ -500,6 +505,7 @@ def build_index(
 
     # job 3: salted merge → final postings, sorted for parquet min/max
     # pushdown on `term` (the query path filters term.isin(...))
+    _t = time.monotonic()
     merged = merge_chunks(chunks, float(avg_dl), n_shards, n_buckets, codec)
     (
         merged.repartition("term")
@@ -507,6 +513,7 @@ def build_index(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "postings"))
     )
+    stage_secs["merge"] = round(time.monotonic() - _t, 2)
 
     manifest = {
         "codec": codec,
@@ -517,6 +524,7 @@ def build_index(
         "block_size": BLOCK_SIZE,
         "bm25": {"k1": BM25_K1, "b": BM25_B},
         "build_secs": time.monotonic() - t_start,
+        "stage_secs": stage_secs,
         "extractor_version": 1,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:

@@ -128,6 +128,22 @@ def test_ann_srp_recall(spark):
     assert len(exact & approx) >= 7  # high recall on genuine neighbors
 
 
+def test_embedding_near_dup_pairs(spark):
+    from ela_lib_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((40, 12))
+    dup = base[5] + 0.01 * rng.standard_normal(12)  # near-dup of vec 5
+    vecs = np.vstack([base, dup[None, :]])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = {(r.a, r.b): r.cosine for r in
+             embedding_near_dup_pairs(df, threshold=0.98, n_planes=6).collect()}
+    assert (5, 40) in pairs and pairs[(5, 40)] > 0.99
+
+
 def test_dsl_clauses(spark, docs):
     assert dsl_filter(docs, {"term": {"lang": "de"}}, "doc_id").count() == 1
     assert dsl_filter(docs, {"ids": {"values": [1, 2]}}, "doc_id").count() == 2

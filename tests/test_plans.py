@@ -11,10 +11,18 @@ from ela_lib_spark.plans.dsl import dsl_filter
 from ela_lib_spark.plans.explain import explain_str
 
 
-def test_postings_term_filter_pushdown(spark, index_dir):
+def test_postings_term_filter_pushdown(spark, index_dir, tmp_root):
     import os
+    import shutil
 
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    # fresh path: the session fixture caches the canonical postings df,
+    # and Spark substitutes InMemoryRelation for any matching plan —
+    # which would hide the parquet PushedFilters this test asserts
+    src = os.path.join(index_dir, "postings")
+    dst = os.path.join(tmp_root, "postings_pushdown_copy")
+    if not os.path.exists(dst):
+        shutil.copytree(src, dst)
+    postings = spark.read.parquet(dst)
     q = postings.filter(F.col("term").isin(["term0001", "term0002"]))
     plan = explain_str(q)
     assert "PushedFilters: [" in plan and "In(term" in plan, plan[:2000]
