@@ -70,11 +70,26 @@ def bench_build(spark, pages_path: str, out_dir: str, n_buckets: int, n_shards: 
     return m, secs
 
 
+def _cpu_calibration() -> float:
+    """Fixed single-core numpy workload (seconds). This sandbox shows
+    ±2× wall-clock variance between identical runs (VM CPU steal);
+    the calibration lets readers normalize across rounds."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1200, 1200))
+    t0 = time.monotonic()
+    for _ in range(6):
+        a = a @ a * 1e-3
+        np.sort(a[0])
+    return round(time.monotonic() - t0, 3)
+
+
 def main():
     import __spark_entry__ as entrymod
 
     work = tempfile.mkdtemp(prefix="ela_bench_")
     result: dict = {"sf": SF_DIR, "unit": "sec"}
+    result["cpu_calib_secs"] = _cpu_calibration()
     qsecs: dict[str, float] = {}
 
     spark = _new_spark(CPUS)
@@ -141,6 +156,9 @@ def main():
                 [sys.executable, "-c", code], capture_output=True, text=True,
                 env=env, timeout=1800,
             )
+            for ln in out.stderr.splitlines():
+                if ln.startswith("STAGES="):
+                    print(f"# {cores}c {ln}", file=sys.stderr)
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("SECS=")]
             if not line:
                 print(f"# scaling run {cores}c failed: {out.stderr[-500:]}",

@@ -75,6 +75,39 @@ def dsl_to_column(query: dict, key_col: str = "url", text_cols: tuple = ("text",
         for p in preds[1:]:
             out = out | p
         return out
+    if kind == "prefix":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return _field(f, key_col).startswith(str(v))
+    if kind == "wildcard":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        # ES wildcard: * = any run, ? = one char; anchor both ends
+        import re as _re
+
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(v)
+        )
+        return _field(f, key_col).rlike(f"^{rx}$")
+    if kind == "match_phrase":
+        (f, v), = body.items()
+        if isinstance(v, dict):
+            v = v["query"]
+        from ela_lib_spark.functions.text import tokenize_list
+
+        qtoks = tokenize_list(str(v))
+        if not qtoks:
+            return F.lit(False)
+        # analyzed-phrase containment: the normalized token stream of the
+        # field contains the query tokens consecutively
+        joined = F.concat(F.lit("\x1f"),
+                          F.concat_ws("\x1f", tokenize_col(F.col(f))),
+                          F.lit("\x1f"))
+        needle = "\x1f" + "\x1f".join(qtoks) + "\x1f"
+        return joined.contains(needle)
     if kind == "bool":
         out = F.lit(True)
         for clause in body.get("must", []) + body.get("filter", []):

@@ -27,7 +27,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ela_lib_spark.index.build import build_chunks
 from ela_lib_spark.schemas import WEB_PAGES
 
 DELTA_BUCKET_BASE = 1 << 20  # streamed buckets live above bulk buckets
@@ -37,13 +36,28 @@ def apply_delta_batch(
     batch_df: DataFrame, epoch_id: int, index_dir: str, n_buckets: int = 8
 ) -> None:
     """foreachBatch body: SPIMI-chunk the micro-batch and commit it
-    under an epoch-keyed path (replay-idempotent overwrite)."""
-    chunks = build_chunks(batch_df, n_buckets, use_html=False)
-    chunks = chunks.withColumn(
-        "part_id", (F.col("part_id") + F.lit(DELTA_BUCKET_BASE + epoch_id * n_buckets)).cast("int")
+    under an epoch-keyed path (replay-idempotent overwrite).
+
+    Streamed docs get bucket/doc ids shifted into a per-epoch reserved
+    range ABOVE all bulk buckets, so ids never collide with the base
+    index — required for compaction to interleave postings correctly."""
+    from ela_lib_spark.index.build import (
+        DOC_BITS,
+        chunks_from_ids,
+        doc_stats_from_ids,
+        ids_with_tokens,
+    )
+
+    offset = DELTA_BUCKET_BASE + epoch_id * n_buckets
+    ids = ids_with_tokens(batch_df, n_buckets)
+    ids = ids.withColumn("bucket", (F.col("bucket") + offset).cast("int")).withColumn(
+        "doc_id", F.col("doc_id") + (offset << DOC_BITS)
     )
     out = os.path.join(index_dir, "delta_chunks", f"epoch={epoch_id}")
-    chunks.write.mode("overwrite").parquet(out)
+    chunks_from_ids(ids).write.mode("overwrite").parquet(out)
+    # doc dictionary for the streamed docs (url ↔ doc_id ↔ doc_len)
+    ds_out = os.path.join(index_dir, "delta_doc_stats", f"epoch={epoch_id}")
+    doc_stats_from_ids(ids).write.mode("overwrite").parquet(ds_out)
 
 
 def incremental_index_maintenance(
@@ -73,3 +87,64 @@ def read_delta_postings(spark: SparkSession, index_dir: str) -> DataFrame | None
     if not os.path.exists(p):
         return None
     return spark.read.option("basePath", p).parquet(p)
+
+
+def compact_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dict:
+    """Fold accumulated delta chunks into the base index: re-run the
+    normal salted merge over base ∪ delta chunks, refresh corpus stats,
+    and atomically republish postings (staging dir + rename — the
+    parquet stand-in for an Iceberg snapshot swap).
+
+    The main-index + delta-segment + periodic-compaction design is the
+    classic Lucene segment model, expressed as two Spark tables."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from ela_lib_spark.index.build import METRICS_TERM, merge_chunks
+
+    base = spark.read.parquet(os.path.join(index_dir, "chunks"))
+    delta = read_delta_postings(spark, index_dir)
+    if delta is None:
+        return {"compacted_epochs": 0}
+    n_epochs = delta.select("epoch").distinct().count()
+    delta = delta.drop("epoch")
+    chunks = base.unionByName(delta)
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    real = chunks.filter(F2.col("term") == METRICS_TERM)
+    n_docs = real.agg(F2.sum("n_docs")).first()[0]
+    n_tokens = real.agg(F2.sum("first_doc_id")).first()[0]
+    avg_dl = float(n_tokens) / float(n_docs)
+
+    merged = merge_chunks(chunks, avg_dl, n_shards, manifest["n_buckets"],
+                          manifest["codec"])
+    staged = os.path.join(index_dir, "postings.staging")
+    (
+        merged.repartition("term")
+        .sortWithinPartitions("term", "shard", "block_id")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    final = os.path.join(index_dir, "postings")
+    old = os.path.join(index_dir, "postings.old")
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(staged, final)
+    shutil.rmtree(old, ignore_errors=True)
+    # fold delta chunks into the base chunk set for future compactions
+    merged_chunks_dir = os.path.join(index_dir, "chunks.staging")
+    chunks.write.mode("overwrite").parquet(merged_chunks_dir)
+    old_c = os.path.join(index_dir, "chunks.old")
+    os.rename(os.path.join(index_dir, "chunks"), old_c)
+    os.rename(merged_chunks_dir, os.path.join(index_dir, "chunks"))
+    shutil.rmtree(old_c, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "delta_chunks"), ignore_errors=True)
+
+    manifest["n_docs"] = int(n_docs)
+    manifest["avg_dl"] = avg_dl
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return {"compacted_epochs": int(n_epochs), "n_docs": int(n_docs)}

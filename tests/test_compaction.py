@@ -1,0 +1,64 @@
+"""Compaction: base index + streamed delta epochs → one merged index
+that answers queries rank-identically over the combined corpus."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ela_lib_spark.index.build import DOC_BITS, build_index, ids_with_tokens, load_index
+from ela_lib_spark.oracle.brute import brute_topk
+from ela_lib_spark.query.wand import wand_topk
+from ela_lib_spark.sources.synth import synth_pages_df
+from ela_lib_spark.streaming.incremental import (
+    DELTA_BUCKET_BASE,
+    apply_delta_batch,
+    compact_index,
+)
+
+
+def test_compaction_rank_identity(spark, tmp_root):
+    idx_dir = os.path.join(tmp_root, "compact_idx")
+    all_pages = synth_pages_df(spark, 600).cache()
+    # deterministic split: base / two delta micro-batches
+    base = all_pages.filter(F.pmod(F.xxhash64("url"), 4) != 0)
+    extra = all_pages.filter(F.pmod(F.xxhash64("url"), 4) == 0)
+    batch0 = extra.filter(F.pmod(F.xxhash64("url", F.lit(1)), 2) == 0)
+    batch1 = extra.filter(F.pmod(F.xxhash64("url", F.lit(1)), 2) != 0)
+    n_base, n0, n1 = base.count(), batch0.count(), batch1.count()
+    assert n_base + n0 + n1 == 600
+
+    build_index(spark, base, idx_dir, n_buckets=4, n_shards=2, use_html=True)
+    apply_delta_batch(batch0, 0, idx_dir, n_buckets=4)
+    apply_delta_batch(batch1, 1, idx_dir, n_buckets=4)
+    res = compact_index(spark, idx_dir, n_shards=2)
+    assert res["compacted_epochs"] == 2
+    assert res["n_docs"] == 600
+
+    idx = load_index(spark, idx_dir)
+    assert idx["manifest"]["n_docs"] == 600
+
+    # ground truth over the COMBINED corpus with the ids the engine used
+    toks = {
+        r.doc_id: list(r.tokens)
+        for r in ids_with_tokens(base, 4, use_html=True)
+        .select("doc_id", "tokens").collect()
+    }
+    for epoch, batch in ((0, batch0), (1, batch1)):
+        off = DELTA_BUCKET_BASE + epoch * 4
+        for r in (
+            ids_with_tokens(batch, 4)
+            .withColumn("doc_id", F.col("doc_id") + (off << DOC_BITS))
+            .select("doc_id", "tokens")
+            .collect()
+        ):
+            toks[r.doc_id] = list(r.tokens)
+    assert len(toks) == 600
+
+    m = idx["manifest"]
+    for terms, mode in ([["term0000"], "OR"], [["term0002", "term0045"], "AND"],
+                        [["term0005", "term0417"], "OR"]):
+        want = brute_topk(toks, terms, mode, k=10, n_docs=m["n_docs"],
+                          avg_dl=m["avg_dl"])
+        got = [(r.doc_id, r.score)
+               for r in wand_topk(idx, terms, mode, k=10).collect()]
+        assert got == want, (terms, mode)

@@ -158,6 +158,14 @@ def test_dsl_clauses(spark, docs):
     assert dsl_filter(docs, {"range": {"doc_id": {"gte": 2, "lt": 4}}}, "doc_id").count() == 2
     with pytest.raises(DslError):
         dsl_to_column({"fuzzy": {"text": "x"}})
+    assert dsl_filter(docs, {"prefix": {"lang": "e"}}, "doc_id").count() == 5
+    assert dsl_filter(docs, {"wildcard": {"lang": "?e"}}, "doc_id").count() == 1
+    assert dsl_filter(
+        docs, {"match_phrase": {"text": "Quick brown FOX"}}, "doc_id"
+    ).count() == 3
+    assert dsl_filter(
+        docs, {"match_phrase": {"text": "fox over"}}, "doc_id"
+    ).count() == 0  # non-consecutive tokens don't phrase-match
 
 
 def test_diff_and_sync_diff(spark, docs):
