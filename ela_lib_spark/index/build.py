@@ -2,28 +2,49 @@
 
 Spark-first design, three jobs over the `web_pages` table:
 
-1. **doc_stats / corpus_stats** — pure JVM: tokenize with a codegen'd
-   `split`, `size(tokens)` → doc_len; deterministic dense-ish doc ids
-   (see below); one shuffle (hash on url-bucket).
-2. **SPIMI chunk stage** — `mapInPandas` per partition builds in-memory
-   term→postings segments and flushes them as varint-encoded chunk rows
-   (classic SPIMI, Manning IR ch.4). This is map-side combine: the term
-   shuffle moves compressed chunks, not raw (term, doc, tf) rows.
-3. **salted term-partitioned merge** — shuffle by (term, shard) where
-   shard = bucket-range group: a deterministic, order-preserving salt.
-   A head term's postings are split across shards by doc-id range, so
-   no single `applyInPandas` group ever holds a head term's full list
+1. **docs job** — extract text (Arrow pandas UDF, map-side), tokenize
+   with a codegen'd `split`, hash every token to an int64 term id with
+   JVM `xxhash64` (whole-stage codegen — zero Python in the token hot
+   path), assign deterministic doc ids, and materialize ONE slim
+   intermediate parquet: (url, bucket, doc_id, doc_len, term_ids).
+   This table doubles as the doc dictionary (doc_stats is a pruned
+   column read of it — parquet never touches `term_ids` for stats).
+2. **SPIMI chunk stage** — `mapInPandas` over the docs parquet builds
+   per-split term→postings segments and flushes them as varint-encoded
+   chunk rows (classic SPIMI, Manning IR ch.4). All-int64 numpy kernel:
+   one `lexsort` + run-length encode per flush; no pandas object
+   strings anywhere (term ids replace term strings). This is map-side
+   combine: the term shuffle moves compressed chunks, not raw
+   (term, doc, tf) rows.
+3. **salted term-partitioned merge** — shuffle by (term_id, shard)
+   where shard = bucket-range group: a deterministic, order-preserving
+   salt. A head term's postings are split across shards by doc-id
+   range, so no single merge group ever holds a head term's full list
    (the skew mitigation the north rule requires), and every shard holds
    a disjoint, sorted doc range — which is exactly the layout block-max
-   WAND wants (query/wand.py groups by shard for doc-at-a-time scoring).
+   WAND wants (query/wand.py groups by shard for doc-at-a-time
+   scoring). The merge output is written directly (no extra
+   repartition): each output file is already sorted by term_id, so
+   parquet row-group min/max stats prune query-term scans.
+
+**Term-id scheme.** term_id = xxhash64(term) (seed 42), computed
+JVM-side at build time and via the bit-identical pure-Python XXH64
+(functions/xxh.py) for query terms at the driver. 64-bit ids make the
+SPIMI/merge kernels pure int64 numpy — the string-object version was
+3–5× slower and memory-bandwidth-bound. Collision math: P(any
+collision among V terms) ≈ V²/2⁶⁵; V=10⁸ → ~3·10⁻⁴ (one merged pair
+in ~3000 corpora), detectable by building the optional vocab table
+(`vocab_from_docs`) and checking count(distinct term) per term_id.
 
 **Doc-id scheme.** doc_id = (bucket << 40) | rank_within_bucket, where
-bucket = pmod(xxhash64(url), P) and rank is the row_number over urls in
-the bucket. Fully deterministic (no range-sampling, no
-monotonically_increasing_id), independent of physical partitioning —
-this is what makes the build resumable and reproducible across cluster
-sizes. Gaps within a bucket are 1 → delta streams compress to ~1
-byte/posting.
+bucket = pmod(xxhash64(url), n_buckets) and rank is the row_number over
+urls in the bucket. Fully deterministic (no range-sampling, no
+monotonically_increasing_id), independent of physical partitioning and
+parallelism — this is what makes the build resumable and reproducible
+across cluster sizes. Gaps within a bucket are 1 → delta streams
+compress to ~1 byte/posting. Use n_buckets ≫ cores (bench: 16×cores):
+the rank sort parallelism follows n_buckets, and buckets are the
+resume/lineage granularity.
 
 Reference parity: the scan/slice surface maps to the reference's sliced
 scroll (pkg/es/es5.go:106-163, slice spec es5.go:116-122); `bucket`
@@ -49,13 +70,14 @@ from ela_lib_spark.index.codecs import (
     CODEC_VARINT,
     encode_block,
     varint_decode,
-    varint_encode,
     varint_encode_segmented,
 )
 from ela_lib_spark.schemas import BLOCK_SIZE, POSTING_CHUNKS, POSTINGS
 
 DOC_BITS = 40
-METRICS_TERM = ""  # reserved: real tokens match [a-z0-9]+, never empty
+# Sentinel term_id for per-bucket metrics rows (ledger feed). A real
+# token hashing exactly here has probability V/2^64 ≈ 0.
+METRICS_TERM_ID = -(1 << 63)
 FLUSH_POSTINGS = 2_000_000  # SPIMI in-memory segment bound per partition
 
 
@@ -67,6 +89,15 @@ def doc_id_expr():
     return (
         F.shiftleft(F.col("bucket").cast("long"), DOC_BITS) + F.col("rk") - 1
     ).alias("doc_id")
+
+
+def term_id_expr(tokens_col):
+    """array<string> → array<long> of xxhash64 term ids (JVM, codegen)."""
+    return F.transform(tokens_col, lambda t: F.xxhash64(t))
+
+
+# ----------------------------------------------------- string-token path
+# (oracle/truth surface for tests; the build itself is all term-ids)
 
 
 def pages_with_tokens(pages: DataFrame, use_html: bool = False) -> DataFrame:
@@ -86,184 +117,200 @@ def with_doc_ids(tokens_df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def ids_with_tokens(pages: DataFrame, n_buckets: int, use_html: bool = False) -> DataFrame:
-    """Scale-tuned id assignment: the shuffle moves (url, text) — NOT
-    token arrays — and tokenization runs in the post-shuffle stage, so
-    its parallelism follows shuffle partitions (≈ cluster cores), not
-    the input file count. html→text extraction stays map-side (it
-    shrinks the payload). Same deterministic ids as with_doc_ids."""
+    """(url, bucket, doc_id, tokens) with string tokens — the ground-
+    truth surface (same ids as the build; tokens for brute-force
+    oracles)."""
+    return with_doc_ids(pages_with_tokens(pages, use_html), n_buckets).select(
+        "url", "bucket", "doc_id", "tokens"
+    )
+
+
+# --------------------------------------------------------- docs job (1)
+
+
+def docs_with_term_ids(
+    pages: DataFrame, n_buckets: int, use_html: bool = False
+) -> DataFrame:
+    """(url, bucket, doc_id, doc_len, term_ids) — the one materialized
+    intermediate. Extraction, tokenization and term-id hashing all run
+    map-side (pre-shuffle), so their parallelism follows input splits;
+    the single shuffle is the bucket hash for rank assignment, and its
+    sort parallelism follows n_buckets (keep n_buckets ≫ cores).
+
+    Null-safe: a null text/html row becomes an empty term_ids array
+    (doc_len 0) — it gets a doc id and counts toward n_docs."""
     text = extract_text(F.col("html")) if use_html else F.col("text")
-    base = pages.select("url", text.alias("text"))
+    tids = term_id_expr(tokenize_col(text))
+    base = pages.select(
+        "url",
+        F.coalesce(tids, F.array().cast("array<long>")).alias("term_ids"),
+    )
     w = Window.partitionBy("bucket").orderBy("url")
-    ids = (
+    return (
         base.withColumn("bucket", bucket_expr(n_buckets))
         .withColumn("rk", F.row_number().over(w))
         .withColumn("doc_id", doc_id_expr())
-    )
-    return ids.select(
-        "url", "bucket", "doc_id", tokenize_col(F.col("text")).alias("tokens")
-    )
-
-
-def doc_stats_from_ids(ids_df: DataFrame) -> DataFrame:
-    return ids_df.select(
-        "doc_id", "url", F.size("tokens").cast("long").alias("doc_len"), "bucket"
+        .select(
+            "url",
+            "bucket",
+            "doc_id",
+            F.size("term_ids").cast("long").alias("doc_len"),
+            "term_ids",
+        )
     )
 
 
-def build_doc_stats(pages: DataFrame, n_buckets: int, use_html: bool = False) -> DataFrame:
-    return doc_stats_from_ids(with_doc_ids(pages_with_tokens(pages, use_html), n_buckets))
+def doc_stats_from_docs(docs_df: DataFrame) -> DataFrame:
+    """Pruned projection — parquet reads skip the term_ids column."""
+    return docs_df.select("doc_id", "url", "doc_len", "bucket")
+
+
+def vocab_from_docs(docs_df: DataFrame, pages: DataFrame, n_buckets: int,
+                    use_html: bool = False) -> DataFrame:
+    """Optional (term, term_id, df) dictionary — for term listings and
+    hash-collision audits. One explode+groupBy pass; not on the build
+    critical path."""
+    text = extract_text(F.col("html")) if use_html else F.col("text")
+    ex = pages.select(
+        F.explode(F.array_distinct(tokenize_col(text))).alias("term")
+    )
+    return ex.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "term_id", F.xxhash64("term")
+    )
 
 
 # ------------------------------------------------------------- stage A
 
 
-def _spimi_fn(missing_buckets=None):
-    """mapInPandas closure: per-partition SPIMI segment builder."""
+def _spimi_fn():
+    """mapInPandas closure: per-split SPIMI segment builder.
+
+    All-int64 numpy: batches accumulate (bucket, term_id, doc_id,
+    doc_len) posting streams; flush() does ONE lexsort + run-length
+    pass over up to FLUSH_POSTINGS entries and varint-encodes each
+    (bucket, term) chunk with a single segmented encode call."""
 
     def fn(it):
         t0 = time.monotonic()
-        frames: list[pd.DataFrame] = []  # per-batch (bucket,term,doc_id,tf,dl)
+        bufs: list[tuple] = []  # (bucket_rep, term_ids, doc_rep, dl_rep)
         pending = 0
-        bucket_docs: dict = {}
-        bucket_tokens: dict = {}
+        bucket_docs: dict[int, int] = {}
+        bucket_tokens: dict[int, int] = {}
 
         def flush():
-            nonlocal frames, pending
-            allf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-            frames = []
+            nonlocal bufs, pending
+            if not bufs:
+                return None
+            cat = (lambda i: np.concatenate([x[i] for x in bufs])
+                   if len(bufs) > 1 else bufs[0][i])
+            b, t, d, l = cat(0), cat(1), cat(2), cat(3)
+            bufs = []
             pending = 0
-            # stable multi-key sort: within (bucket, term) the original
-            # order — ascending doc_id across batches — is preserved
-            allf = allf.sort_values(["bucket", "term"], kind="stable",
-                                    ignore_index=True)
-            b_arr = allf["bucket"].to_numpy(np.int64)
-            t_arr = allf["term"].to_numpy()
-            ids = allf["doc_id"].to_numpy(np.int64)
-            tfs = allf["tf"].to_numpy(np.int64)
-            dls = allf["dl"].to_numpy(np.int64)
-            n = len(allf)
-            new_chunk = np.ones(n, bool)
-            if n > 1:
-                new_chunk[1:] = (b_arr[1:] != b_arr[:-1]) | (t_arr[1:] != t_arr[:-1])
-            starts = np.flatnonzero(new_chunk)
-            counts = np.diff(np.append(starts, n))
-            d = np.empty(n, np.int64)
-            d[0] = 0
-            np.subtract(ids[1:], ids[:-1], out=d[1:])
-            d[starts] = 0  # chunk delta streams start at 0 (decoder contract)
+            n = len(t)
+            if n == 0:
+                return None
+            order = np.lexsort((d, t, b))
+            b, t, d, l = b[order], t[order], d[order], l[order]
+            # posting runs: same (bucket, term, doc) → tf
+            new_post = np.ones(n, bool)
+            new_post[1:] = (b[1:] != b[:-1]) | (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+            ps = np.flatnonzero(new_post)
+            tf = np.diff(np.append(ps, n))
+            pb, pt, pdoc, pl = b[ps], t[ps], d[ps], l[ps]
+            # chunk runs: same (bucket, term)
+            new_chunk = np.ones(len(ps), bool)
+            if len(ps) > 1:
+                new_chunk[1:] = (pb[1:] != pb[:-1]) | (pt[1:] != pt[:-1])
+            cs = np.flatnonzero(new_chunk)
+            counts = np.diff(np.append(cs, len(ps)))
+            deltas = np.empty(len(ps), np.int64)
+            deltas[0] = 0
+            np.subtract(pdoc[1:], pdoc[:-1], out=deltas[1:])
+            deltas[cs] = 0  # chunk delta streams start at 0 (decoder contract)
             return pd.DataFrame(
                 {
-                    "term": t_arr[starts],
-                    "part_id": b_arr[starts].astype(np.int32),
-                    "shard": np.zeros(len(starts), np.int32),
-                    "doc_ids": varint_encode_segmented(d, counts),
-                    "tfs": varint_encode_segmented(tfs, counts),
-                    "dls": varint_encode_segmented(dls, counts),
-                    "n_docs": counts,
-                    "first_doc_id": ids[starts],
+                    "term_id": pt[cs],
+                    "part_id": pb[cs].astype(np.int32),
+                    "shard": np.zeros(len(cs), np.int32),
+                    "doc_ids": varint_encode_segmented(deltas, counts),
+                    "tfs": varint_encode_segmented(tf, counts),
+                    "dls": varint_encode_segmented(pl, counts),
+                    "n_docs": counts.astype(np.int64),
+                    "first_doc_id": pdoc[cs],
                 }
             )
 
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            dl = pdf["tokens"].map(len)
-            ex = pd.DataFrame(
-                {
-                    "bucket": pdf["bucket"].repeat(dl).values,
-                    "doc_id": pdf["doc_id"].repeat(dl).values,
-                    "term": np.concatenate([np.asarray(t, dtype=object) for t in pdf["tokens"]])
-                    if dl.sum()
-                    else np.array([], dtype=object),
-                }
+            tl = pdf["term_ids"]
+            lens = np.fromiter(
+                (0 if x is None else len(x) for x in tl), np.int64, len(pdf)
             )
-            for b, cnt in pdf.groupby("bucket")["doc_id"].count().items():
-                bucket_docs[b] = bucket_docs.get(b, 0) + int(cnt)
-            for b, cnt in ex.groupby("bucket")["term"].count().items():
-                bucket_tokens[b] = bucket_tokens.get(b, 0) + int(cnt)
-            tf = (
-                ex.groupby(["bucket", "term", "doc_id"], sort=True)
-                .size()
-                .reset_index(name="tf")
+            bkt = pdf["bucket"].to_numpy(np.int64)
+            ub, uc = np.unique(bkt, return_counts=True)
+            for x, c in zip(ub.tolist(), uc.tolist()):
+                bucket_docs[x] = bucket_docs.get(x, 0) + c
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            tids = np.concatenate(
+                [np.asarray(x, np.int64) for x in tl if x is not None and len(x)]
             )
-            dl_map = pd.Series(dl.values, index=pdf["doc_id"].values)
-            tf["dl"] = tf["doc_id"].map(dl_map)
-            frames.append(tf)
-            pending += len(tf)
+            doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+            bkt_rep = np.repeat(bkt, lens)
+            dl_rep = np.repeat(lens, lens)
+            ub2, uc2 = np.unique(bkt_rep, return_counts=True)
+            for x, c in zip(ub2.tolist(), uc2.tolist()):
+                bucket_tokens[x] = bucket_tokens.get(x, 0) + c
+            bufs.append((bkt_rep, tids, doc_rep, dl_rep))
+            pending += total
             if pending >= FLUSH_POSTINGS:
-                yield flush()
-        if frames:
-            yield flush()
-        # one metrics row per bucket seen by this partition (ledger feed)
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+        # one metrics row per bucket seen by this split (ledger feed)
         if bucket_docs:
             elapsed_ms = int((time.monotonic() - t0) * 1000)
             yield pd.DataFrame(
                 {
-                    "term": METRICS_TERM,
-                    "part_id": list(bucket_docs.keys()),
+                    "term_id": METRICS_TERM_ID,
+                    "part_id": np.fromiter(
+                        bucket_docs.keys(), np.int64, len(bucket_docs)
+                    ).astype(np.int32),
                     "shard": elapsed_ms,
                     "doc_ids": b"",
                     "tfs": b"",
                     "dls": b"",
-                    "n_docs": [bucket_docs[b] for b in bucket_docs],
-                    "first_doc_id": [bucket_tokens.get(b, 0) for b in bucket_docs],
+                    "n_docs": [bucket_docs[x] for x in bucket_docs],
+                    "first_doc_id": [bucket_tokens.get(x, 0) for x in bucket_docs],
                 }
             )
 
     return fn
 
 
-def chunks_from_ids(ids_df: DataFrame, skip_buckets=None) -> DataFrame:
-    """Stage A: SPIMI posting chunks, one+ per (bucket, term)."""
+def chunks_from_docs(docs_df: DataFrame, skip_buckets=None) -> DataFrame:
+    """Stage A: SPIMI posting chunks, one+ per (bucket, term).
+
+    Correctness relies on each bucket's rows being *contiguous and
+    doc-id-ascending within each input file* (the docs job writes them
+    that way: its window stage sorts every partition by (bucket, url)),
+    so chunks of the same (bucket, term) from different read splits
+    cover disjoint, ordered doc ranges."""
     if skip_buckets:
-        ids_df = ids_df.filter(~F.col("bucket").isin(list(skip_buckets)))
-    return ids_df.select("bucket", "doc_id", "tokens").mapInPandas(
+        docs_df = docs_df.filter(
+            ~F.col("bucket").isin([int(x) for x in skip_buckets])
+        )
+    return docs_df.select("bucket", "doc_id", "term_ids").mapInPandas(
         _spimi_fn(), schema=POSTING_CHUNKS
     )
 
 
-def build_chunks(
-    pages: DataFrame, n_buckets: int, use_html: bool = False, skip_buckets=None
-) -> DataFrame:
-    return chunks_from_ids(
-        with_doc_ids(pages_with_tokens(pages, use_html), n_buckets), skip_buckets
-    )
-
-
 # ------------------------------------------------------------- stage B
-
-
-def _merge_group(out: dict, term, shard: int, df_val: int, g: pd.DataFrame,
-                 avg_dl: float, codec: str, block_size: int) -> None:
-    """Merge one (term, shard) group's chunks into encoded blocks."""
-    k1, b = BM25_K1, BM25_B
-    ids_l, tfs_l, dls_l = [], [], []
-    for r in g.itertuples(index=False):
-        deltas = varint_decode(r.doc_ids, r.n_docs).astype(np.int64)
-        ids = np.cumsum(deltas) + (r.first_doc_id - int(deltas[0]))
-        ids_l.append(ids)
-        tfs_l.append(varint_decode(r.tfs, r.n_docs).astype(np.int64))
-        dls_l.append(varint_decode(r.dls, r.n_docs).astype(np.int64))
-    ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0]
-    tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
-    dls = np.concatenate(dls_l) if len(dls_l) > 1 else dls_l[0]
-    impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
-    for blk, s in enumerate(range(0, len(ids), block_size)):
-        e = min(s + block_size, len(ids))
-        d_enc, t_enc, l_enc, first, last = encode_block(
-            ids[s:e], tfs[s:e], dls[s:e], codec
-        )
-        out["term"].append(term)
-        out["shard"].append(shard)
-        out["block_id"].append(blk)
-        out["first_doc_id"].append(first)
-        out["last_doc_id"].append(last)
-        out["doc_ids_delta"].append(d_enc)
-        out["tfs"].append(t_enc)
-        out["dls"].append(l_enc)
-        out["n_docs"].append(e - s)
-        out["block_max_impact"].append(float(impact[s:e].max()))
-        out["df"].append(df_val)
 
 
 def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
@@ -275,8 +322,8 @@ def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
     n = pdf["n_docs"].to_numpy(np.int64)
     total = int(n.sum())
     nrows = len(pdf)
-    term_arr = pdf["term"].to_numpy()
-    shard_arr = pdf["shard"].to_numpy()
+    term_arr = pdf["term_id"].to_numpy(np.int64)
+    shard_arr = pdf["shard"].to_numpy(np.int64)
     first_arr = pdf["first_doc_id"].to_numpy(np.int64)
 
     # decode the concatenated streams in one call each
@@ -333,7 +380,7 @@ def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
 
     return pd.DataFrame(
         {
-            "term": term_arr[g_chunk][blk_group],
+            "term_id": term_arr[g_chunk][blk_group],
             "shard": shard_arr[g_chunk][blk_group].astype(np.int32),
             "block_id": blk_idx.astype(np.int32),
             "first_doc_id": first_ids,
@@ -348,10 +395,45 @@ def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
     )
 
 
+def _merge_group(out: dict, term_id: int, shard: int, df_val: int,
+                 g: pd.DataFrame, avg_dl: float, codec: str,
+                 block_size: int) -> None:
+    """Merge one (term, shard) group's chunks into encoded blocks
+    (non-varint codecs; the varint path is batch-vectorized above)."""
+    k1, b = BM25_K1, BM25_B
+    ids_l, tfs_l, dls_l = [], [], []
+    for r in g.itertuples(index=False):
+        deltas = varint_decode(r.doc_ids, r.n_docs).astype(np.int64)
+        ids = np.cumsum(deltas) + (r.first_doc_id - int(deltas[0]))
+        ids_l.append(ids)
+        tfs_l.append(varint_decode(r.tfs, r.n_docs).astype(np.int64))
+        dls_l.append(varint_decode(r.dls, r.n_docs).astype(np.int64))
+    ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0]
+    tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
+    dls = np.concatenate(dls_l) if len(dls_l) > 1 else dls_l[0]
+    impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
+    for blk, s in enumerate(range(0, len(ids), block_size)):
+        e = min(s + block_size, len(ids))
+        d_enc, t_enc, l_enc, first, last = encode_block(
+            ids[s:e], tfs[s:e], dls[s:e], codec
+        )
+        out["term_id"].append(term_id)
+        out["shard"].append(shard)
+        out["block_id"].append(blk)
+        out["first_doc_id"].append(first)
+        out["last_doc_id"].append(last)
+        out["doc_ids_delta"].append(d_enc)
+        out["tfs"].append(t_enc)
+        out["dls"].append(l_enc)
+        out["n_docs"].append(e - s)
+        out["block_max_impact"].append(float(impact[s:e].max()))
+        out["df"].append(df_val)
+
+
 def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
     """mapInPandas merge: the input partition is sorted by
-    (term, shard, first_doc_id); groups are detected by key change and
-    the trailing (possibly batch-spanning) group is buffered. This
+    (term_id, shard, first_doc_id); groups are detected by key change
+    and the trailing (possibly batch-spanning) group is buffered. This
     avoids applyInPandas's per-group JVM round trip — critical because
     the zipf long tail makes most groups tiny."""
 
@@ -359,9 +441,9 @@ def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
         if codec == CODEC_VARINT:
             return _merge_batch_vectorized(pdf, avg_dl, block_size)
         out = {k: [] for k in POSTINGS.fieldNames()}
-        for (term, shard), g in pdf.groupby(["term", "shard"], sort=False):
-            _merge_group(out, term, int(shard), int(g["df"].iloc[0]), g,
-                         avg_dl, codec, block_size)
+        for (term_id, shard), g in pdf.groupby(["term_id", "shard"], sort=False):
+            _merge_group(out, int(term_id), int(shard), int(g["df"].iloc[0]),
+                         g, avg_dl, codec, block_size)
         return pd.DataFrame(out)
 
     def fn(it):
@@ -371,9 +453,9 @@ def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
                 pdf = pd.concat([buf, pdf], ignore_index=True)
             if len(pdf) == 0:
                 continue
-            last_t = pdf["term"].iloc[-1]
+            last_t = pdf["term_id"].iloc[-1]
             last_s = pdf["shard"].iloc[-1]
-            mask_last = (pdf["term"] == last_t) & (pdf["shard"] == last_s)
+            mask_last = (pdf["term_id"] == last_t) & (pdf["shard"] == last_s)
             buf = pdf[mask_last]
             body = pdf[~mask_last]
             if len(body):
@@ -395,27 +477,97 @@ def merge_chunks(
     """Stage B: salted merge. shard = bucket-range group (order-preserving
     salt); df per term aggregated from chunk metadata (cheap — no
     decode), then carried into each salted group. The shuffle is an
-    explicit repartition on (term, shard) + in-partition sort; the merge
-    itself streams through mapInPandas (see _merge_stream_fn)."""
+    explicit repartition on (term_id, shard) + in-partition sort; the
+    merge itself streams through mapInPandas (see _merge_stream_fn)."""
     group = max(1, (n_buckets + n_shards - 1) // n_shards)
-    pre = chunks.filter(F.col("term") != METRICS_TERM).withColumn(
+    pre = chunks.filter(F.col("term_id") != METRICS_TERM_ID).withColumn(
         "shard", (F.col("part_id") / group).cast("int")
     )
-    df_tbl = pre.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    df_tbl = pre.groupBy("term_id").agg(F.sum("n_docs").alias("df"))
     # df_tbl is one row per term — tiny next to the chunk data; AQE
     # turns this into a broadcast join when it fits, leaving the
     # repartition below as the ONLY shuffle of chunk bytes.
-    joined = pre.join(df_tbl, "term")
+    joined = pre.join(df_tbl, "term_id")
     if merge_partitions is not None:
-        part = joined.repartition(merge_partitions, "term", "shard")
+        part = joined.repartition(merge_partitions, "term_id", "shard")
     else:
         # session shuffle parallelism (≈ cores) — scales with the cluster
-        part = joined.repartition("term", "shard")
-    part = part.sortWithinPartitions("term", "shard", "first_doc_id")
+        part = joined.repartition("term_id", "shard")
+    part = part.sortWithinPartitions("term_id", "shard", "first_doc_id")
     return part.mapInPandas(_merge_stream_fn(avg_dl, codec), schema=POSTINGS)
 
 
 # ------------------------------------------------------------ pipeline
+
+
+def _read_if_exists(spark, path):
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def done_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    """Buckets whose chunks are durably committed. Derived from the
+    committed chunk METRICS rows (the data itself), with the ledger as
+    a secondary source — so a crash *between* the chunks commit and the
+    ledger write cannot cause buckets to be re-appended (which would
+    duplicate postings)."""
+    done: set[int] = set()
+    ch = chunks_path(out_dir)
+    if os.path.exists(ch):
+        df = _read_if_exists(spark, ch)
+        if df is not None:
+            done |= {
+                r.part_id
+                for r in df.filter(F.col("term_id") == METRICS_TERM_ID)
+                .select("part_id")
+                .distinct()
+                .collect()
+            }
+    led = os.path.join(out_dir, "ledger")
+    if os.path.exists(led):
+        df = _read_if_exists(spark, led)
+        if df is not None:
+            done |= {
+                r.part_id
+                for r in df.filter(F.col("status") == "done")
+                .select("part_id")
+                .collect()
+            }
+    return done
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def read_manifest(out_dir: str) -> dict | None:
+    p = _manifest_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_manifest(out_dir: str, manifest: dict) -> None:
+    """Atomic manifest flip (os.replace) — THE single commit point for
+    index publishes: data dirs are written to versioned names first,
+    then the manifest pointer switches readers over."""
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def postings_path(out_dir: str) -> str:
+    m = read_manifest(out_dir)
+    return os.path.join(out_dir, (m or {}).get("postings_dir", "postings"))
+
+
+def chunks_path(out_dir: str) -> str:
+    m = read_manifest(out_dir)
+    return os.path.join(out_dir, (m or {}).get("chunks_dir", "chunks"))
 
 
 def build_index(
@@ -428,94 +580,86 @@ def build_index(
     codec: str = CODEC_VARINT,
     use_html: bool = False,
     resume: bool = False,
-    reuse_intermediate: bool = True,
 ) -> dict:
-    """Full build: doc_stats → corpus_stats → chunks (resumable) →
+    """Full build: docs (ids+term_ids) → chunks (resumable) → ledger →
     merged postings. Returns the manifest dict.
 
     Resumability (north rule): the chunk stage appends per-bucket; the
-    ledger is *derived from committed chunk data* (metrics rows), so a
-    crash between data and ledger writes cannot desynchronize them —
+    done-set is *derived from committed chunk data* (metrics rows), so
+    a crash between data and ledger writes cannot desynchronize them —
     rerunning with resume=True recomputes done-buckets from the data.
     """
     t_start = time.monotonic()
     stage_secs: dict[str, float] = {}
-    done: set[int] = set()
-    if resume and os.path.exists(os.path.join(out_dir, "ledger")):
-        done = {
-            r.part_id
-            for r in spark.read.parquet(os.path.join(out_dir, "ledger"))
-            .filter(F.col("status") == "done")
-            .select("part_id")
-            .collect()
-        }
+    done: set[int] = done_buckets(spark, out_dir) if resume else set()
 
-    # the id-assigned tokens frame feeds BOTH doc_stats and the SPIMI
-    # chunk stage; persisting it reuses the tokenize+shuffle+sort work
-    # across the two jobs (one corpus pass instead of two). At extreme
-    # scale set reuse_intermediate=False to trade the second pass for
-    # zero persist footprint.
-    ids_df = ids_with_tokens(pages, n_buckets, use_html)
-    if reuse_intermediate:
-        from pyspark import StorageLevel
-
-        ids_df = ids_df.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # job 1: doc stats (skip if resuming and complete — ids are
-    # bucket-deterministic; _SUCCESS guards against a crashed write)
-    ds_path = os.path.join(out_dir, "doc_stats")
+    # job 1: the docs table (skip if resuming and committed — ids are
+    # (bucket, url)-deterministic; _SUCCESS guards a crashed write)
+    docs_dir = os.path.join(out_dir, "docs")
     _t = time.monotonic()
-    if not (resume and os.path.exists(os.path.join(ds_path, "_SUCCESS"))):
-        doc_stats_from_ids(ids_df).write.mode("overwrite").parquet(ds_path)
-    stage_secs["doc_stats"] = round(time.monotonic() - _t, 2)
-    doc_stats = spark.read.parquet(ds_path)
-    n_docs, avg_dl = doc_stats.agg(
-        F.count("*").cast("long"), F.avg("doc_len")
-    ).first()
-    cs_path = os.path.join(out_dir, "corpus_stats")
-    spark.createDataFrame(
-        [(int(n_docs), float(avg_dl))], "n_docs long, avg_dl double"
-    ).write.mode("overwrite").parquet(cs_path)
+    if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
+        docs_with_term_ids(pages, n_buckets, use_html).write.mode(
+            "overwrite"
+        ).parquet(docs_dir)
+    stage_secs["docs"] = round(time.monotonic() - _t, 2)
+    docs = spark.read.parquet(docs_dir)
 
     # job 2: SPIMI chunks (append missing buckets only)
-    ch_path = os.path.join(out_dir, "chunks")
+    ch_dir = chunks_path(out_dir)
     _t = time.monotonic()
-    chunks_out = chunks_from_ids(ids_df, skip_buckets=done or None)
-    mode = "append" if (resume and os.path.exists(ch_path)) else "overwrite"
-    chunks_out.write.mode(mode).parquet(ch_path)
+    chunks_out = chunks_from_docs(docs, skip_buckets=done or None)
+    mode = "append" if (resume and os.path.exists(ch_dir)) else "overwrite"
+    chunks_out.write.mode(mode).parquet(ch_dir)
     stage_secs["chunks"] = round(time.monotonic() - _t, 2)
-    if reuse_intermediate:
-        ids_df.unpersist()
-    chunks = spark.read.parquet(ch_path)
+    chunks = spark.read.parquet(ch_dir)
 
-    # ledger derived from committed metrics rows
-    ledger = (
-        chunks.filter(F.col("term") == METRICS_TERM)
+    # ledger + corpus stats, both derived from committed metrics rows
+    # (one small scan; n_docs/avg_dl come from the ledger sums)
+    _t = time.monotonic()
+    ledger_rows = (
+        chunks.filter(F.col("term_id") == METRICS_TERM_ID)
         .groupBy("part_id")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("first_doc_id").cast("long").alias("n_tokens"),
             (F.max("shard") / 1000.0).alias("secs"),
         )
-        .withColumn("status", F.lit("done"))
-        .withColumn("snapshot_id", F.lit(f"build-{int(t_start)}"))
-        .select("part_id", "status", "n_docs", "n_tokens", "secs", "snapshot_id")
+        .collect()
     )
-    ledger.write.mode("overwrite").parquet(os.path.join(out_dir, "ledger"))
+    snapshot = f"build-{int(t_start)}"
+    ledger = spark.createDataFrame(
+        [
+            (int(r.part_id), "done", int(r.n_docs), int(r.n_tokens),
+             float(r.secs), snapshot)
+            for r in ledger_rows
+        ],
+        "part_id int, status string, n_docs long, n_tokens long, "
+        "secs double, snapshot_id string",
+    )
+    ledger.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "ledger")
+    )
+    n_docs = sum(r.n_docs for r in ledger_rows)
+    n_tokens = sum(r.n_tokens for r in ledger_rows)
+    avg_dl = float(n_tokens) / float(n_docs) if n_docs else 0.0
+    spark.createDataFrame(
+        [(int(n_docs), float(avg_dl))], "n_docs long, avg_dl double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "corpus_stats")
+    )
+    stage_secs["ledger"] = round(time.monotonic() - _t, 2)
 
-    # job 3: salted merge → final postings, sorted for parquet min/max
-    # pushdown on `term` (the query path filters term.isin(...))
+    # job 3: salted merge → final postings. Written directly: each merge
+    # output partition is already sorted by term_id, so parquet
+    # row-group min/max stats prune the query path's term_id filter
+    # without an extra repartition shuffle.
     _t = time.monotonic()
     merged = merge_chunks(chunks, float(avg_dl), n_shards, n_buckets, codec)
-    (
-        merged.repartition("term")
-        .sortWithinPartitions("term", "shard", "block_id")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "postings"))
-    )
+    merged.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
     stage_secs["merge"] = round(time.monotonic() - _t, 2)
 
     manifest = {
+        "layout_version": 2,
         "codec": codec,
         "n_buckets": n_buckets,
         "n_shards": n_shards,
@@ -526,19 +670,22 @@ def build_index(
         "build_secs": time.monotonic() - t_start,
         "stage_secs": stage_secs,
         "extractor_version": 1,
+        "postings_dir": "postings",
+        "chunks_dir": "chunks",
+        "snapshot_id": snapshot,
     }
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    write_manifest(out_dir, manifest)
     return manifest
 
 
 def load_index(spark: SparkSession, out_dir: str) -> dict:
-    with open(os.path.join(out_dir, "manifest.json")) as f:
-        manifest = json.load(f)
+    manifest = read_manifest(out_dir)
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
     return {
         "manifest": manifest,
-        "postings": spark.read.parquet(os.path.join(out_dir, "postings")),
-        "doc_stats": spark.read.parquet(os.path.join(out_dir, "doc_stats")),
+        "postings": spark.read.parquet(postings_path(out_dir)),
+        "docs": docs,
+        "doc_stats": doc_stats_from_docs(docs),
         "corpus_stats": spark.read.parquet(os.path.join(out_dir, "corpus_stats")),
         "ledger": spark.read.parquet(os.path.join(out_dir, "ledger")),
     }

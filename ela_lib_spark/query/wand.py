@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ela_lib_spark import BM25_K1
+from ela_lib_spark.functions.xxh import spark_xxhash64
 from ela_lib_spark.index.codecs import decode_block
 from ela_lib_spark.query.scoring import bm25_contrib, idf
 
@@ -46,20 +47,23 @@ def _compact(ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int, avg_dl: float, codec: str):
-    terms_sorted = sorted(set(terms))
+    # Postings are keyed by term_id = xxhash64(term); iteration stays in
+    # lexicographic *string* order — rank-identity with the brute oracle
+    # depends on the float accumulation order.
+    terms_sorted = [spark_xxhash64(t) for t in sorted(set(terms))]
     nt = len(terms_sorted)
     is_and = mode.upper() == "AND"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
-        present = set(pdf["term"])
+        present = set(pdf["term_id"])
         if is_and and not all(t in present for t in terms_sorted):
             return empty
 
         per = {}
         bounds = []
-        for t, g in pdf.groupby("term"):
+        for t, g in pdf.groupby("term_id"):
             g = g.sort_values("first_doc_id").reset_index(drop=True)
             idf_t = float(idf(int(g["df"].iloc[0]), n_docs))
             per[t] = {
@@ -143,11 +147,12 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int, avg_dl: flo
 def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> DataFrame:
     """Distributed top-k. `index` is index.build.load_index output.
 
-    The term filter pushes down to the postings parquet scan (files are
-    sorted by term → row-group min/max pruning).
+    The term_id filter pushes down to the postings parquet scan (files
+    are sorted by term_id → row-group min/max pruning).
     """
     m = index["manifest"]
-    q = index["postings"].filter(F.col("term").isin(sorted(set(terms))))
+    ids = [spark_xxhash64(t) for t in sorted(set(terms))]
+    q = index["postings"].filter(F.col("term_id").isin(ids))
     shard_tops = q.groupBy("shard").applyInPandas(
         _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"]),
         schema=RESULT_SCHEMA,

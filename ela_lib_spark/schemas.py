@@ -29,13 +29,26 @@ DOC_STATS = T.StructType(
     ]
 )
 
+# The build's one materialized intermediate: doc dictionary + int64
+# term-id stream per doc (term_id = xxhash64(term), computed JVM-side).
+# doc_stats is a pruned column read of this table.
+DOC_TERMS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("doc_len", T.LongType(), False),
+        T.StructField("term_ids", T.ArrayType(T.LongType()), False),
+    ]
+)
+
 # SPIMI per-partition posting chunk (stage 1 output). doc_ids within a
-# chunk are strictly increasing; a chunk covers one input partition's
+# chunk are strictly increasing; a chunk covers one input split's
 # doc_id range, so chunks of the same term never overlap and concatenate
-# into a sorted list by (part_id) order.
+# into a sorted list by first_doc_id order.
 POSTING_CHUNKS = T.StructType(
     [
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("part_id", T.IntegerType(), False),
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("doc_ids", T.BinaryType(), False),  # varint deltas
@@ -51,7 +64,7 @@ POSTING_CHUNKS = T.StructType(
 # BM25 upper-bound impact for block-max WAND.
 POSTINGS = T.StructType(
     [
-        T.StructField("term", T.StringType(), False),
+        T.StructField("term_id", T.LongType(), False),
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("first_doc_id", T.LongType(), False),

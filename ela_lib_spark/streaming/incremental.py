@@ -18,6 +18,12 @@ async replica. We upgrade the semantics to at-least-once, idempotent:
 Doc ids for streamed docs come from the same deterministic
 (bucket, rank) scheme offset into a reserved high-bucket range, so they
 never collide with bulk ids.
+
+Publish atomicity: compaction writes postings/chunks into *versioned*
+snapshot directories and flips the `postings_dir`/`chunks_dir` pointers
+in manifest.json via an atomic os.replace — a crash at any point leaves
+either the old or the new snapshot fully readable (never a window with
+no postings directory).
 """
 
 from __future__ import annotations
@@ -43,21 +49,21 @@ def apply_delta_batch(
     index — required for compaction to interleave postings correctly."""
     from ela_lib_spark.index.build import (
         DOC_BITS,
-        chunks_from_ids,
-        doc_stats_from_ids,
-        ids_with_tokens,
+        chunks_from_docs,
+        doc_stats_from_docs,
+        docs_with_term_ids,
     )
 
     offset = DELTA_BUCKET_BASE + epoch_id * n_buckets
-    ids = ids_with_tokens(batch_df, n_buckets)
-    ids = ids.withColumn("bucket", (F.col("bucket") + offset).cast("int")).withColumn(
+    docs = docs_with_term_ids(batch_df, n_buckets)
+    docs = docs.withColumn("bucket", (F.col("bucket") + offset).cast("int")).withColumn(
         "doc_id", F.col("doc_id") + (offset << DOC_BITS)
     )
     out = os.path.join(index_dir, "delta_chunks", f"epoch={epoch_id}")
-    chunks_from_ids(ids).write.mode("overwrite").parquet(out)
+    chunks_from_docs(docs).write.mode("overwrite").parquet(out)
     # doc dictionary for the streamed docs (url ↔ doc_id ↔ doc_len)
     ds_out = os.path.join(index_dir, "delta_doc_stats", f"epoch={epoch_id}")
-    doc_stats_from_ids(ids).write.mode("overwrite").parquet(ds_out)
+    doc_stats_from_docs(docs).write.mode("overwrite").parquet(ds_out)
 
 
 def incremental_index_maintenance(
@@ -92,19 +98,24 @@ def read_delta_postings(spark: SparkSession, index_dir: str) -> DataFrame | None
 def compact_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dict:
     """Fold accumulated delta chunks into the base index: re-run the
     normal salted merge over base ∪ delta chunks, refresh corpus stats,
-    and atomically republish postings (staging dir + rename — the
-    parquet stand-in for an Iceberg snapshot swap).
+    and atomically republish via versioned snapshot dirs + a manifest
+    pointer flip (the parquet stand-in for an Iceberg snapshot swap).
 
     The main-index + delta-segment + periodic-compaction design is the
     classic Lucene segment model, expressed as two Spark tables."""
-    import json
     import shutil
 
     from pyspark.sql import functions as F2
 
-    from ela_lib_spark.index.build import METRICS_TERM, merge_chunks
+    from ela_lib_spark.index.build import (
+        METRICS_TERM_ID,
+        chunks_path,
+        merge_chunks,
+        read_manifest,
+        write_manifest,
+    )
 
-    base = spark.read.parquet(os.path.join(index_dir, "chunks"))
+    base = spark.read.parquet(chunks_path(index_dir))
     delta = read_delta_postings(spark, index_dir)
     if delta is None:
         return {"compacted_epochs": 0}
@@ -112,39 +123,39 @@ def compact_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dic
     delta = delta.drop("epoch")
     chunks = base.unionByName(delta)
 
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        manifest = json.load(f)
-    real = chunks.filter(F2.col("term") == METRICS_TERM)
-    n_docs = real.agg(F2.sum("n_docs")).first()[0]
-    n_tokens = real.agg(F2.sum("first_doc_id")).first()[0]
+    manifest = read_manifest(index_dir)
+    metrics = chunks.filter(F2.col("term_id") == METRICS_TERM_ID)
+    n_docs, n_tokens = metrics.agg(
+        F2.sum("n_docs"), F2.sum("first_doc_id")
+    ).first()
     avg_dl = float(n_tokens) / float(n_docs)
+
+    gen = int(manifest.get("compaction_gen", 0)) + 1
+    old_chunks = os.path.join(index_dir, manifest["chunks_dir"])
+    old_postings = os.path.join(index_dir, manifest["postings_dir"])
+    new_postings_name = f"postings-c{gen}"
+    new_chunks_name = f"chunks-c{gen}"
 
     merged = merge_chunks(chunks, avg_dl, n_shards, manifest["n_buckets"],
                           manifest["codec"])
-    staged = os.path.join(index_dir, "postings.staging")
-    (
-        merged.repartition("term")
-        .sortWithinPartitions("term", "shard", "block_id")
-        .write.mode("overwrite")
-        .parquet(staged)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(index_dir, new_postings_name)
     )
-    final = os.path.join(index_dir, "postings")
-    old = os.path.join(index_dir, "postings.old")
-    if os.path.exists(final):
-        os.rename(final, old)
-    os.rename(staged, final)
-    shutil.rmtree(old, ignore_errors=True)
     # fold delta chunks into the base chunk set for future compactions
-    merged_chunks_dir = os.path.join(index_dir, "chunks.staging")
-    chunks.write.mode("overwrite").parquet(merged_chunks_dir)
-    old_c = os.path.join(index_dir, "chunks.old")
-    os.rename(os.path.join(index_dir, "chunks"), old_c)
-    os.rename(merged_chunks_dir, os.path.join(index_dir, "chunks"))
-    shutil.rmtree(old_c, ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "delta_chunks"), ignore_errors=True)
+    chunks.write.mode("overwrite").parquet(
+        os.path.join(index_dir, new_chunks_name)
+    )
 
+    # single atomic commit point: the manifest pointer flip
+    manifest["postings_dir"] = new_postings_name
+    manifest["chunks_dir"] = new_chunks_name
+    manifest["compaction_gen"] = gen
     manifest["n_docs"] = int(n_docs)
     manifest["avg_dl"] = avg_dl
-    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
+    write_manifest(index_dir, manifest)
+
+    # post-commit cleanup (safe: readers resolve via the manifest)
+    shutil.rmtree(old_postings, ignore_errors=True)
+    shutil.rmtree(old_chunks, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "delta_chunks"), ignore_errors=True)
     return {"compacted_epochs": int(n_epochs), "n_docs": int(n_docs)}

@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from ela_lib_spark.index.build import METRICS_TERM
+from ela_lib_spark.functions.xxh import spark_xxhash64
+from ela_lib_spark.index.build import METRICS_TERM_ID
 from ela_lib_spark.index.codecs import decode_block
 from ela_lib_spark.oracle.brute import brute_topk
 from ela_lib_spark.query.bm25 import bm25_topk_flat, flat_postings
@@ -30,7 +31,11 @@ def test_df_metadata_matches_truth(index, corpus_tokens):
     # df stored on posting rows == number of docs containing the term
     for term in ["term0000", "term0050", "term3000"]:
         truth = sum(1 for toks in corpus_tokens.values() if term in toks)
-        rows = index["postings"].filter(F.col("term") == term).select("df").distinct().collect()
+        rows = (
+            index["postings"]
+            .filter(F.col("term_id") == spark_xxhash64(term))
+            .select("df").distinct().collect()
+        )
         if truth == 0:
             assert rows == []
         else:
@@ -44,7 +49,7 @@ def test_postings_decode_matches_truth(index, corpus_tokens):
     }
     rows = (
         index["postings"]
-        .filter(F.col("term") == term)
+        .filter(F.col("term_id") == spark_xxhash64(term))
         .orderBy("shard", "block_id")
         .collect()
     )
@@ -69,7 +74,7 @@ def test_ledger_covers_all_buckets(index):
     assert {r.status for r in rows} == {"done"}
     assert sum(r.n_docs for r in rows) == N_TEST_DOCS
     assert len(rows) <= N_BUCKETS
-    assert index["postings"].filter(F.col("term") == METRICS_TERM).count() == 0
+    assert index["postings"].filter(F.col("term_id") == METRICS_TERM_ID).count() == 0
 
 
 @pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["name"])

@@ -22,10 +22,12 @@ def test_postings_term_filter_pushdown(spark, index_dir, tmp_root):
     dst = os.path.join(tmp_root, "postings_pushdown_copy")
     if not os.path.exists(dst):
         shutil.copytree(src, dst)
+    from ela_lib_spark.functions.xxh import term_ids
+
     postings = spark.read.parquet(dst)
-    q = postings.filter(F.col("term").isin(["term0001", "term0002"]))
+    q = postings.filter(F.col("term_id").isin(term_ids(["term0001", "term0002"])))
     plan = explain_str(q)
-    assert "PushedFilters: [" in plan and "In(term" in plan, plan[:2000]
+    assert "PushedFilters: [" in plan and "In(term_id" in plan, plan[:2000]
 
 
 def test_dsl_filter_pushdown_to_parquet(spark, pages_path):

@@ -1,7 +1,10 @@
 """Resumable build (north rule: checkpoint + per-partition lineage).
 
-Simulate a crash: build with half the buckets' chunks committed, then
-resume and assert the final index is identical to a single-shot build.
+Simulate a crash: docs + half the buckets' chunks committed — and, per
+the round-1 advisory, *no ledger written at all* (the crash window
+between the chunks commit and the ledger write). Resume must derive
+done-buckets from the committed chunk data itself and produce an index
+identical to a single-shot build (no bucket double-appended).
 """
 
 import os
@@ -9,10 +12,10 @@ import os
 from pyspark.sql import functions as F
 
 from ela_lib_spark.index.build import (
-    METRICS_TERM,
-    build_chunks,
-    build_doc_stats,
     build_index,
+    chunks_from_docs,
+    docs_with_term_ids,
+    done_buckets,
     load_index,
 )
 
@@ -20,7 +23,7 @@ from ela_lib_spark.index.build import (
 def _postings_fingerprint(postings):
     return (
         postings.select(
-            F.bit_xor(F.xxhash64("term", "shard", "block_id", "first_doc_id",
+            F.bit_xor(F.xxhash64("term_id", "shard", "block_id", "first_doc_id",
                                  "last_doc_id", "doc_ids_delta", "tfs", "dls",
                                  "n_docs", "df")).alias("h"),
             F.count("*").alias("n"),
@@ -29,7 +32,7 @@ def _postings_fingerprint(postings):
     )
 
 
-def test_resume_after_partial_build(spark, tmp_root):
+def test_resume_after_partial_build_without_ledger(spark, tmp_root):
     from ela_lib_spark.sources.synth import write_web_pages
 
     small = os.path.join(tmp_root, "pages_small")
@@ -40,28 +43,18 @@ def test_resume_after_partial_build(spark, tmp_root):
 
     build_index(spark, pages, full_dir, n_buckets=8, n_shards=4, use_html=True)
 
-    # simulate a crashed run: doc_stats written, chunks only for buckets 0-3
-    build_doc_stats(pages, 8, use_html=True).write.mode("overwrite").parquet(
-        os.path.join(part_dir, "doc_stats")
+    # simulate a crashed run: docs written, chunks only for buckets 0-3,
+    # and the crash happened BEFORE the ledger write (advisory case)
+    docs_with_term_ids(pages, 8, use_html=True).write.mode("overwrite").parquet(
+        os.path.join(part_dir, "docs")
     )
-    half = build_chunks(pages, 8, use_html=True, skip_buckets={4, 5, 6, 7})
+    docs = spark.read.parquet(os.path.join(part_dir, "docs"))
+    half = chunks_from_docs(docs, skip_buckets={4, 5, 6, 7})
     half.write.mode("overwrite").parquet(os.path.join(part_dir, "chunks"))
-    # derive the ledger exactly like build_index does (data-derived)
-    chunks = spark.read.parquet(os.path.join(part_dir, "chunks"))
-    (
-        chunks.filter(F.col("term") == METRICS_TERM)
-        .groupBy("part_id")
-        .agg(F.sum("n_docs").cast("long").alias("n_docs"),
-             F.sum("first_doc_id").cast("long").alias("n_tokens"),
-             (F.max("shard") / 1000.0).alias("secs"))
-        .withColumn("status", F.lit("done"))
-        .withColumn("snapshot_id", F.lit("crashed-run"))
-        .select("part_id", "status", "n_docs", "n_tokens", "secs", "snapshot_id")
-        .write.mode("overwrite").parquet(os.path.join(part_dir, "ledger"))
-    )
-    done_before = {r.part_id for r in
-                   spark.read.parquet(os.path.join(part_dir, "ledger")).collect()}
-    assert done_before == {0, 1, 2, 3}
+    assert not os.path.exists(os.path.join(part_dir, "ledger"))
+
+    # done-buckets derived from the committed chunk metrics rows alone
+    assert done_buckets(spark, part_dir) == {0, 1, 2, 3}
 
     # resume: must only process buckets 4-7, then produce an identical index
     m = build_index(spark, pages, part_dir, n_buckets=8, n_shards=4,

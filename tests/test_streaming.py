@@ -4,7 +4,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ela_lib_spark.index.build import METRICS_TERM
+from ela_lib_spark.index.build import METRICS_TERM_ID
 from ela_lib_spark.sources.synth import synth_pages_df
 from ela_lib_spark.streaming.incremental import (
     incremental_index_maintenance,
@@ -33,11 +33,11 @@ def test_incremental_maintenance(spark, tmp_root):
 
     delta = read_delta_postings(spark, idx_dir)
     assert delta is not None
-    real = delta.filter(F.col("term") != METRICS_TERM)
+    real = delta.filter(F.col("term_id") != METRICS_TERM_ID)
     assert real.count() > 0
     # per-epoch metrics rows carry doc counts → all arrivals indexed
     n_docs = (
-        delta.filter(F.col("term") == METRICS_TERM)
+        delta.filter(F.col("term_id") == METRICS_TERM_ID)
         .agg(F.sum("n_docs"))
         .first()[0]
     )
