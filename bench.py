@@ -109,7 +109,9 @@ def main():
     from ela_lib_spark.sources.synth import reference_queries, write_web_pages
 
     write_web_pages(spark, N_DOCS, pages_path)
-    n_buckets, n_shards = max(CPUS, 16), max(CPUS // 4, 4)
+    # n_buckets >> cores: rank-sort parallelism and resume granularity
+    # follow n_buckets; identical at both scaling levels
+    n_buckets, n_shards = 16 * CPUS, max(CPUS // 4, 4)
     m, secs_full = bench_build(spark, pages_path, os.path.join(work, "idx"),
                                n_buckets, n_shards)
     result["index_build_docs_per_sec"] = round(N_DOCS / secs_full, 1)

@@ -100,40 +100,95 @@ def detect_lang(text: pd.Series) -> pd.Series:
 
     Returns the language whose stopword hit-count over the first 200
     tokens is highest; 'und' (undetermined) when nothing hits.
-    """
+    Vectorized: one np.isin per language over the batch's concatenated
+    token stream, per-doc counts via reduceat — no per-token Python."""
     langs = sorted(LANG_STOPWORDS)
-    out = []
-    for t in text:
-        if t is None:
-            out.append(None)
-            continue
-        toks = t.lower().split()[:200]
-        if not toks:
-            out.append("und")
-            continue
-        best, best_n = "und", 0
-        for lg in langs:
-            n = sum(1 for tok in toks if tok in LANG_STOPWORDS[lg])
-            if n > best_n:
-                best, best_n = lg, n
-        out.append(best)
+    sw_arrays = {lg: np.array(sorted(LANG_STOPWORDS[lg])) for lg in langs}
+    tok_lists = [
+        (t.lower().split()[:200] if t is not None else None) for t in text
+    ]
+    lens = np.fromiter(
+        (0 if tl is None else len(tl) for tl in tok_lists), np.int64, len(tok_lists)
+    )
+    out = np.full(len(tok_lists), "und", dtype=object)
+    out[[tl is None for tl in tok_lists]] = None
+    nz = np.flatnonzero(lens)
+    if len(nz):
+        all_toks = np.concatenate([np.asarray(tok_lists[i], object) for i in nz])
+        seg = np.zeros(len(nz), np.int64)
+        np.cumsum(lens[nz][:-1], out=seg[1:])
+        counts = np.stack(
+            [
+                np.add.reduceat(np.isin(all_toks, sw_arrays[lg]).astype(np.int64), seg)
+                for lg in langs
+            ],
+            axis=1,
+        )  # (docs, langs)
+        best = counts.argmax(axis=1)
+        hit = counts.max(axis=1) > 0
+        lang_arr = np.array(langs, object)
+        out[nz[hit]] = lang_arr[best[hit]]
     return pd.Series(out)
 
 
-def rolling_hashes(tokens: list[str], window: int = 8, base: int = 1000003,
-                   mod: int = (1 << 61) - 1) -> np.ndarray:
-    """Karp–Rabin rolling hashes over token hash stream (numpy,
-    vectorized) — building block for winnowing fingerprints."""
-    if len(tokens) < window:
+# ------------------------------------------------ winnowing fingerprint
+
+_WINNOW_MOD64 = np.uint64(0xFFFFFFFFFFFFFFFF)  # arithmetic mod 2^64 (wrap)
+
+
+def _rolling_hashes_u64(h: np.ndarray, window: int,
+                        base: int = 1000003) -> np.ndarray:
+    """Karp–Rabin rolling hashes over a token-hash stream (numpy,
+    mod-2^64 wraparound arithmetic — no Python bigints)."""
+    if len(h) < window:
         return np.zeros(0, np.uint64)
-    h = np.array([hash_token(t) for t in tokens], dtype=np.uint64)
-    powers = np.array([pow(base, window - 1 - i, mod) for i in range(window)],
-                      dtype=object)
-    vals = np.lib.stride_tricks.sliding_window_view(h, window).astype(object)
-    return ((vals * powers).sum(axis=1) % mod).astype(np.uint64)
+    powers = np.empty(window, np.uint64)
+    powers[-1] = 1
+    for i in range(window - 2, -1, -1):
+        powers[i] = powers[i + 1] * np.uint64(base)  # wraps mod 2^64
+    vals = np.lib.stride_tricks.sliding_window_view(h.astype(np.uint64), window)
+    return (vals * powers[None, :]).sum(axis=1, dtype=np.uint64)
 
 
-def hash_token(t: str) -> int:
-    import zlib
+def _winnow_one(h: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): min rolling
+    hash per sliding window of w consecutive k-gram hashes; dedup."""
+    rh = _rolling_hashes_u64(h, k)
+    if len(rh) == 0:
+        return np.zeros(0, np.int64)
+    if len(rh) <= w:
+        return np.unique(rh).astype(np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(rh, w)
+    return np.unique(wins.min(axis=1)).astype(np.int64)
 
-    return zlib.crc32(t.encode("utf-8"))
+
+def make_winnow_udf(k: int = 5, w: int = 4):
+    """pandas UDF: array<long> token hashes (JVM xxhash64) →
+    array<long> winnowing fingerprints. Two docs sharing a ≥(k+w-1)-token
+    passage are guaranteed to share ≥1 fingerprint."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(hashes: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _winnow_one(
+                    np.asarray(h, np.int64) if h is not None else np.zeros(0, np.int64),
+                    k, w,
+                ).tolist()
+                for h in hashes
+            ]
+        )
+
+    return winnow
+
+
+def winnow_fingerprints(df, key: str = "doc_id", text_col: str = "text",
+                        k: int = 5, w: int = 4):
+    """(key, fingerprints array<long>) per doc — the local-dedup /
+    passage-overlap primitive. Token hashing runs JVM-side."""
+    from ela_lib_spark.functions.hashing import token_hash_col
+
+    udf = make_winnow_udf(k, w)
+    return df.select(
+        key, udf(token_hash_col(tokenize_col(F.col(text_col)))).alias("fingerprints")
+    )

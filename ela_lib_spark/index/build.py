@@ -129,13 +129,23 @@ def ids_with_tokens(pages: DataFrame, n_buckets: int, use_html: bool = False) ->
 
 
 def docs_with_term_ids(
-    pages: DataFrame, n_buckets: int, use_html: bool = False
+    pages: DataFrame,
+    n_buckets: int,
+    use_html: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(url, bucket, doc_id, doc_len, term_ids) — the one materialized
     intermediate. Extraction, tokenization and term-id hashing all run
     map-side (pre-shuffle), so their parallelism follows input splits;
     the single shuffle is the bucket hash for rank assignment, and its
     sort parallelism follows n_buckets (keep n_buckets ≫ cores).
+
+    `num_partitions` fixes the shuffle/write partition count explicitly
+    (an explicit repartition is exempt from AQE coalescing). This
+    matters downstream: the docs parquet compresses hard (dictionary-
+    encoded zipf term ids), and small files = single row groups = the
+    SPIMI stage's read-split ceiling. Write MANY small files (≈3× total
+    cores), never few big ones.
 
     Null-safe: a null text/html row becomes an empty term_ids array
     (doc_len 0) — it gets a doc id and counts toward n_docs."""
@@ -144,11 +154,14 @@ def docs_with_term_ids(
     base = pages.select(
         "url",
         F.coalesce(tids, F.array().cast("array<long>")).alias("term_ids"),
-    )
+    ).withColumn("bucket", bucket_expr(n_buckets))
+    if num_partitions is not None:
+        # hash on bucket: a bucket stays whole within one output file,
+        # and the window below reuses this clustering (no 2nd exchange)
+        base = base.repartition(num_partitions, "bucket")
     w = Window.partitionBy("bucket").orderBy("url")
     return (
-        base.withColumn("bucket", bucket_expr(n_buckets))
-        .withColumn("rk", F.row_number().over(w))
+        base.withColumn("rk", F.row_number().over(w))
         .withColumn("doc_id", doc_id_expr())
         .select(
             "url",
@@ -488,11 +501,12 @@ def merge_chunks(
     # turns this into a broadcast join when it fits, leaving the
     # repartition below as the ONLY shuffle of chunk bytes.
     joined = pre.join(df_tbl, "term_id")
-    if merge_partitions is not None:
-        part = joined.repartition(merge_partitions, "term_id", "shard")
-    else:
-        # session shuffle parallelism (≈ cores) — scales with the cluster
-        part = joined.repartition("term_id", "shard")
+    if merge_partitions is None:
+        # explicit count — a bare repartition(cols) is subject to AQE
+        # coalescing, which can collapse the merge to a near-serial task
+        spark = chunks.sparkSession
+        merge_partitions = max(2 * spark.sparkContext.defaultParallelism, 16)
+    part = joined.repartition(merge_partitions, "term_id", "shard")
     part = part.sortWithinPartitions("term_id", "shard", "first_doc_id")
     return part.mapInPandas(_merge_stream_fn(avg_dl, codec), schema=POSTINGS)
 
@@ -580,6 +594,8 @@ def build_index(
     codec: str = CODEC_VARINT,
     use_html: bool = False,
     resume: bool = False,
+    docs_partitions: int | None = None,
+    merge_partitions: int | None = None,
 ) -> dict:
     """Full build: docs (ids+term_ids) → chunks (resumable) → ledger →
     merged postings. Returns the manifest dict.
@@ -592,15 +608,18 @@ def build_index(
     t_start = time.monotonic()
     stage_secs: dict[str, float] = {}
     done: set[int] = done_buckets(spark, out_dir) if resume else set()
+    par = spark.sparkContext.defaultParallelism
+    if docs_partitions is None:
+        docs_partitions = max(3 * par, 48)
 
     # job 1: the docs table (skip if resuming and committed — ids are
     # (bucket, url)-deterministic; _SUCCESS guards a crashed write)
     docs_dir = os.path.join(out_dir, "docs")
     _t = time.monotonic()
     if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
-        docs_with_term_ids(pages, n_buckets, use_html).write.mode(
-            "overwrite"
-        ).parquet(docs_dir)
+        docs_with_term_ids(
+            pages, n_buckets, use_html, num_partitions=docs_partitions
+        ).write.mode("overwrite").parquet(docs_dir)
     stage_secs["docs"] = round(time.monotonic() - _t, 2)
     docs = spark.read.parquet(docs_dir)
 
@@ -654,7 +673,8 @@ def build_index(
     # row-group min/max stats prune the query path's term_id filter
     # without an extra repartition shuffle.
     _t = time.monotonic()
-    merged = merge_chunks(chunks, float(avg_dl), n_shards, n_buckets, codec)
+    merged = merge_chunks(chunks, float(avg_dl), n_shards, n_buckets, codec,
+                          merge_partitions)
     merged.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
     stage_secs["merge"] = round(time.monotonic() - _t, 2)
 

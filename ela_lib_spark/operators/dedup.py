@@ -23,6 +23,8 @@ from ela_lib_spark.functions.hashing import (
     make_minhash_udf,
     make_simhash_udf,
     shingle_col,
+    shingle_hash_col,
+    token_hash_col,
 )
 from ela_lib_spark.functions.text import tokenize_col
 
@@ -43,9 +45,11 @@ def minhash_signatures(
     df: DataFrame, key: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, shingle_n: int = 3,
 ) -> DataFrame:
+    """Shingling AND shingle hashing run JVM-side (codegen xxhash64);
+    the pandas UDF only does the vectorized min-reduction."""
     toks = tokenize_col(F.col(text_col))
     mh = make_minhash_udf(num_hashes)
-    return df.select(key, mh(shingle_col(toks, shingle_n)).alias("sig"))
+    return df.select(key, mh(shingle_hash_col(toks, shingle_n)).alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -93,7 +97,9 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """Min-label propagation over undirected edges (a, b) →
     (node, component). Converges in O(diameter) rounds; dedup cluster
     diameters are tiny, and max_iter bounds the worst case."""
-    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)  # reused every iteration — cut the lineage
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
@@ -126,43 +132,91 @@ def dedup_minhash_lsh(
     threshold: float = 0.8, num_hashes: int = 64,
     num_bands: int = 16, shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-dup removal: keep min-key doc per near-dup cluster."""
-    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, key, num_bands, num_hashes // num_bands)
-    dup_edges = minhash_jaccard(sigs, pairs, key).filter(
-        F.col("est_jaccard") >= threshold
+    """Near-dup removal: keep min-key doc per near-dup cluster.
+
+    Signatures are persisted for the pipeline's lifetime — they feed
+    banding AND both sides of the verify join (~4 evaluations
+    otherwise). 64×8 B per doc ⇒ ~0.5 TB cluster-wide at 10⁹ docs:
+    MEMORY_AND_DISK is the right level at scale."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    comps = connected_components(dup_edges.select("a", "b"))
-    losers = comps.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(key)
-    )
-    return df.join(losers, key, "left_anti")
+    try:
+        pairs = lsh_candidate_pairs(sigs, key, num_bands, num_hashes // num_bands)
+        dup_edges = minhash_jaccard(sigs, pairs, key).filter(
+            F.col("est_jaccard") >= threshold
+        )
+        # connected_components materializes eagerly (per-iteration
+        # checkpoint), so sigs can be released afterwards
+        comps = connected_components(dup_edges.select("a", "b"))
+        losers = comps.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(key)
+        )
+        return df.join(losers, key, "left_anti")
+    finally:
+        sigs.unpersist()
 
 
 def simhash_signatures(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token hashing runs JVM-side; the UDF only does the bit votes."""
     sh = make_simhash_udf()
-    return df.select(key, sh(tokenize_col(F.col(text_col))).alias("simhash"))
+    return df.select(
+        key, sh(token_hash_col(tokenize_col(F.col(text_col)))).alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(
-    sigs: DataFrame, key: str = "doc_id", max_hamming: int = 3
+    sigs: DataFrame, key: str = "doc_id", max_hamming: int = 3,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
-    """Candidate generation by 4×16-bit chunk equality (any doc pair
-    within hamming ≤ 3 of a 64-bit hash shares ≥1 of 4 chunks —
-    pigeonhole), then exact hamming verify."""
-    chunks = sigs.select(
+    """Candidate generation à la Manku/Jain/Sarma (WWW'07): split the
+    64-bit signature into (max_hamming + 2) blocks and key candidates
+    on every PAIR of blocks — ≤ max_hamming flipped bits can dirty at
+    most max_hamming blocks, leaving ≥ 2 clean blocks, so every true
+    pair shares at least one 2-block key (pigeonhole; exact hamming
+    verifies after). Versus single-block keys this widens the key from
+    64/(h+2) to 2·64/(h+2) bits — for h=3 that's ~26-bit keys → ~6.7·10⁷
+    distinct buckets, which keeps bucket occupancy (and the n² pair
+    blowup per bucket) bounded at 10⁹⁺ docs where 16-bit chunk keys
+    degenerate. `max_bucket_size` additionally drops pathological
+    buckets (boilerplate clusters)."""
+    n_blocks = max_hamming + 2
+    widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
+              for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    blocks = [
+        F.shiftrightunsigned("simhash", offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        .alias(f"blk{i}")
+        for i in range(n_blocks)
+    ]
+    base = sigs.select(key, "simhash", *blocks)
+    pair_keys = []
+    kid = 0
+    for i in range(n_blocks):
+        for j in range(i + 1, n_blocks):
+            pair_keys.append(
+                (kid, F.shiftleft(F.col(f"blk{i}").cast("long"), 32)
+                 .bitwiseOR(F.col(f"blk{j}")))
+            )
+            kid += 1
+    stacked = base.select(
         key, "simhash",
-        *[F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-          for i in range(4)],
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("kid"), expr.alias("kval"))
+            for k, expr in pair_keys
+        ])).alias("pk"),
+    ).select(key, "simhash", F.col("pk.kid").alias("kid"), F.col("pk.kval").alias("kval"))
+    sizes = stacked.groupBy("kid", "kval").agg(F.count("*").alias("_n"))
+    stacked = stacked.join(
+        sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"), ["kid", "kval"]
     )
-    stacked = chunks.selectExpr(
-        key, "simhash",
-        "stack(4, 0, c0, 1, c1, 2, c2, 3, c3) as (chunk_id, chunk)",
-    )
-    l = stacked.select(F.col(key).alias("a"), F.col("simhash").alias("ha"), "chunk_id", "chunk")
-    r = stacked.select(F.col(key).alias("b"), F.col("simhash").alias("hb"), "chunk_id", "chunk")
+    l = stacked.select(F.col(key).alias("a"), F.col("simhash").alias("ha"), "kid", "kval")
+    r = stacked.select(F.col(key).alias("b"), F.col("simhash").alias("hb"), "kid", "kval")
     cand = (
-        l.join(r, ["chunk_id", "chunk"]).filter(F.col("a") < F.col("b"))
+        l.join(r, ["kid", "kval"]).filter(F.col("a") < F.col("b"))
         .select("a", "b", "ha", "hb").distinct()
     )
     return cand.withColumn("hamming", hamming64(F.col("ha"), F.col("hb"))).filter(

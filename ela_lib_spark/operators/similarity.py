@@ -4,14 +4,27 @@
   product — no Python in the plan, SQL-expressible for the oracle.
 - LSH-bucketed ANN (signed random projections): scale path — buckets
   prune the candidate set; rerank within buckets is exact cosine.
-- batch kNN join (query set × corpus) via bucket equi-join.
+- batch kNN join (query set × corpus) via multi-probe bucket equi-join.
+
+Ordering contract: top-k ranks use the UNROUNDED cosine (key
+tie-break); rounding applies only to the projected output column —
+matching the DuckDB oracle's ORDER BY.
+
+Plane projections: for small dim×n_planes the bucket id is a pure
+column expression (codegen); above `_UDF_PLANES_THRESHOLD` multiply-
+adds it switches to an Arrow pandas-UDF matmul (one BLAS call per
+batch) — literal-array expression trees blow up the plan at dim ≥ 768.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_UDF_PLANES_THRESHOLD = 2048  # dim * n_planes above which matmul-UDF wins
 
 
 def _dot_with_lit(vec_col, q: list[float]) -> Column:
@@ -34,6 +47,15 @@ def cosine_sim_col(vec_col, q: list[float]) -> Column:
     return _dot_with_lit(vec_col, q) / (_norm(vec_col) * F.lit(qn))
 
 
+def _topk_by_cosine(scored: DataFrame, key: str, k: int,
+                    round_to: int = 6) -> DataFrame:
+    return (
+        scored.orderBy(F.desc("_cos_raw"), F.asc(key))
+        .limit(k)
+        .select(key, F.round("_cos_raw", round_to).alias("cosine"))
+    )
+
+
 def cosine_topk(
     df: DataFrame, q: list[float], k: int = 10,
     vec_col: str = "embedding", key: str = "vec_id",
@@ -41,11 +63,8 @@ def cosine_topk(
     """Exact brute-force top-k by cosine — the correctness baseline.
     Whole-corpus scan, but embarrassingly parallel: per-partition
     top-k then global limit (Spark's TakeOrdered does exactly this)."""
-    return (
-        df.select(key, F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc(key))
-        .limit(k)
-    )
+    scored = df.select(key, cosine_sim_col(F.col(vec_col), q).alias("_cos_raw"))
+    return _topk_by_cosine(scored, key, k)
 
 
 def srp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
@@ -53,9 +72,8 @@ def srp_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def srp_bucket_col(vec_col, planes: np.ndarray) -> Column:
-    """Signed-random-projection bucket id: bit i = sign(v · plane_i).
-    Pure column expression (sum of shifted sign bits)."""
+def _srp_bucket_expr(vec_col, planes: np.ndarray) -> Column:
+    """Bucket id as a pure column expression (small dim×planes only)."""
     bits = []
     for i, p in enumerate(planes):
         dot = _dot_with_lit(vec_col, [float(x) for x in p])
@@ -64,6 +82,41 @@ def srp_bucket_col(vec_col, planes: np.ndarray) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def _srp_bucket_udf(planes: np.ndarray):
+    """Arrow pandas UDF: one (batch × dim) @ (dim × planes) matmul."""
+    pt = np.ascontiguousarray(planes.T)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack([np.asarray(v, np.float64) for v in vecs])
+        signs = (m @ pt) >= 0
+        return pd.Series(signs @ weights)
+
+    return bucket
+
+
+def srp_bucket_col(vec_col, planes: np.ndarray) -> Column:
+    n_planes, dim = planes.shape
+    if n_planes * dim > _UDF_PLANES_THRESHOLD:
+        return _srp_bucket_udf(planes)(vec_col)
+    return _srp_bucket_expr(vec_col, planes)
+
+
+def _probe_buckets(qbits: int, n_planes: int, probe_hamming: int) -> list[int]:
+    probes = [qbits]
+    if probe_hamming >= 1:
+        probes += [qbits ^ (1 << i) for i in range(n_planes)]
+    if probe_hamming >= 2:
+        probes += [
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    return probes
 
 
 def ann_topk_srp(
@@ -80,32 +133,79 @@ def ann_topk_srp(
     """
     planes = srp_planes(len(q), n_planes, seed)
     qbits = int(sum((1 << i) for i, p in enumerate(planes) if np.dot(p, q) >= 0))
-    probes = [qbits]
-    if probe_hamming >= 1:
-        probes += [qbits ^ (1 << i) for i in range(n_planes)]
-    if probe_hamming >= 2:
-        probes += [
-            qbits ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes) for j in range(i + 1, n_planes)
-        ]
+    probes = _probe_buckets(qbits, n_planes, probe_hamming)
     bucketed = df.withColumn("_bucket", srp_bucket_col(F.col(vec_col), planes))
     cand = bucketed.filter(F.col("_bucket").isin(probes))
+    scored = cand.select(key, cosine_sim_col(F.col(vec_col), q).alias("_cos_raw"))
+    return _topk_by_cosine(scored, key, k)
+
+
+def knn_join_srp(
+    queries: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+    q_key: str = "q_id", c_key: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 12, probe_hamming: int = 1, seed: int = 42,
+) -> DataFrame:
+    """Batch kNN join: for every query row, its top-k corpus neighbors
+    by cosine — (q_id, vec_id, cosine, rank).
+
+    Plan shape: each side computes SRP buckets; queries explode to
+    their multi-probe bucket set; ONE equi-join on bucket prunes the
+    cross product to same/near-bucket pairs; exact cosine + window
+    top-k per query. Shuffles move (bucket, key, vec) rows — never the
+    all-pairs product. At 100 TB: bucket the corpus table by `_bucket`
+    (DataFrameWriter.bucketBy) so the join co-locates without a
+    corpus-side shuffle."""
+    from pyspark.sql import Window
+
+    planes = srp_planes(dim, n_planes, seed)
+    n_probe_bits = [0]
+    if probe_hamming >= 1:
+        n_probe_bits += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        n_probe_bits += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    flips = F.array(*[F.lit(x) for x in n_probe_bits])
+    qb = queries.select(
+        F.col(q_key), F.col(vec_col).alias("_qv"),
+        srp_bucket_col(F.col(vec_col), planes).alias("_qbucket"),
+    ).select(
+        q_key, "_qv",
+        F.explode(F.transform(flips, lambda f: F.col("_qbucket").bitwiseXOR(f)))
+        .alias("_bucket"),
+    )
+    cb = corpus.select(
+        F.col(c_key), F.col(vec_col).alias("_cv"),
+        srp_bucket_col(F.col(vec_col), planes).alias("_bucket"),
+    )
+    dot = F.aggregate(F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    cos = (dot / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias("_cos_raw")
+    pairs = (
+        qb.join(cb, "_bucket")
+        .select(q_key, c_key, cos)
+        .groupBy(q_key, c_key)  # a pair can match via several probes
+        .agg(F.first("_cos_raw").alias("_cos_raw"))
+    )
+    w = Window.partitionBy(q_key).orderBy(F.desc("_cos_raw"), F.asc(c_key))
     return (
-        cand.select(key, F.round(cosine_sim_col(F.col(vec_col), q), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc(key))
-        .limit(k)
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_key, c_key, F.round("_cos_raw", 6).alias("cosine"), "rank")
     )
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, key: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, n_planes: int = 8, seed: int = 42, dim: int | None = None,
+    df: DataFrame, dim: int, key: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 8, seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup: SRP bucket equi-join prunes pairs,
     exact cosine verifies. Same-bucket constraint trades recall for a
-    shuffle that moves (bucket, key, vec) instead of all pairs."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    shuffle that moves (bucket, key, vec) instead of all pairs.
+
+    `dim` is required (no driver-side df.first() probe — that's an
+    eager corpus action in an otherwise lazy API)."""
     planes = srp_planes(dim, n_planes, seed)
     b = df.select(key, vec_col).withColumn("_bucket", srp_bucket_col(F.col(vec_col), planes))
     l = b.select(F.col(key).alias("a"), F.col(vec_col).alias("va"), "_bucket")

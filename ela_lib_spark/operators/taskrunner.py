@@ -71,3 +71,37 @@ def filter_tables(names: list[str], patterns: list[str],
         if any(fnmatch.fnmatch(n, p) for p in patterns):
             out.append(n)
     return out
+
+
+def list_indexes(root: str) -> list[str]:
+    """Catalog listing (S9): every committed table dataset under a
+    warehouse directory — the GetIndexes analog for a parquet/Iceberg
+    warehouse (reference lists live cluster indexes, es5.go GetIndexes)."""
+    import os
+
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            or any(fn.endswith(".parquet") for fn in os.listdir(p))
+        ):
+            out.append(name)
+    return out
+
+
+def resolve_template_index(patterns: list[str], names: list[str]) -> str | None:
+    """Template pattern→index resolution (S18): glob patterns become
+    anchored regexes (`*` → `.*`) and the FIRST existing index matching
+    any pattern seeds the template's settings — mirrors
+    service/task/migrator.go:590-635."""
+    import re
+
+    rx = [re.compile("^" + p.replace("*", ".*") + "$") for p in patterns]
+    for name in names:
+        for r in rx:
+            if r.match(name):
+                return name
+    return None

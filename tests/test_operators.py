@@ -105,7 +105,8 @@ def test_cosine_topk_matches_numpy(spark):
     q = vecs[0].tolist()
     got = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
     sims = vecs @ np.array(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
-    want = list(np.lexsort((np.arange(50), -np.round(sims, 6)))[:5])
+    # ranks use the UNROUNDED cosine (rounding is output-only)
+    want = list(np.lexsort((np.arange(50), -sims))[:5])
     assert got == want
 
 
@@ -140,8 +141,34 @@ def test_embedding_near_dup_pairs(spark):
         "vec_id long, embedding array<double>",
     )
     pairs = {(r.a, r.b): r.cosine for r in
-             embedding_near_dup_pairs(df, threshold=0.98, n_planes=6).collect()}
+             embedding_near_dup_pairs(df, dim=12, threshold=0.98, n_planes=6).collect()}
     assert (5, 40) in pairs and pairs[(5, 40)] > 0.99
+
+
+def test_knn_join_srp(spark):
+    rng = np.random.default_rng(33)
+    corpus = rng.standard_normal((200, 16))
+    queries = corpus[[3, 57, 120]] + 0.05 * rng.standard_normal((3, 16))
+    cdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(queries)],
+        "q_id long, embedding array<double>",
+    )
+    from ela_lib_spark.operators.similarity import knn_join_srp
+
+    out = knn_join_srp(qdf, cdf, dim=16, k=5, n_planes=8, probe_hamming=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    # each query's rank-1 neighbor is its planted source vector
+    for qi, src in enumerate([3, 57, 120]):
+        got = [v for _, v in sorted(by_q[qi])]
+        assert got[0] == src, (qi, got)
+        assert len(got) <= 5 and len(set(got)) == len(got)
 
 
 def test_dsl_clauses(spark, docs):
@@ -166,6 +193,26 @@ def test_dsl_clauses(spark, docs):
     assert dsl_filter(
         docs, {"match_phrase": {"text": "fox over"}}, "doc_id"
     ).count() == 0  # non-consecutive tokens don't phrase-match
+    # ES bool semantics: with must present, should is scoring-only
+    # (minimum_should_match defaults to 0) — docs 1,2,3 all match
+    assert dsl_filter(
+        docs,
+        {"bool": {"must": [{"match": {"text": "fox"}}],
+                  "should": [{"match": {"text": "cat"}}]}},
+        "doc_id",
+    ).count() == 3
+    # ...but with no must/filter, should requires ≥1 match
+    assert dsl_filter(
+        docs, {"bool": {"should": [{"match": {"text": "cat"}}]}}, "doc_id"
+    ).count() == 1
+    # explicit minimum_should_match=1 restores filtering behavior
+    assert dsl_filter(
+        docs,
+        {"bool": {"must": [{"match": {"text": "fox"}}],
+                  "should": [{"match": {"text": "cat"}}],
+                  "minimum_should_match": 1}},
+        "doc_id",
+    ).count() == 1
 
 
 def test_diff_and_sync_diff(spark, docs):
@@ -217,6 +264,27 @@ def test_analysis_functions(spark, docs):
     assert by_id[5].lg == "de"
     assert by_id[6].lg == "fr"
     assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_winnow_fingerprints_shared_passage(spark):
+    from ela_lib_spark.functions.analysis import winnow_fingerprints
+
+    passage = "shared passage tokens alpha bravo charlie delta echo foxtrot golf"
+    rows = [
+        (1, "unique prefix one two three " + passage),
+        (2, passage + " and a completely different ending here now"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: set(r.fingerprints) for r in
+          winnow_fingerprints(df, k=5, w=4).collect()}
+    # docs 1 and 2 share a ≥(k+w-1)-token passage → guaranteed overlap
+    assert fp[1] & fp[2]
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    # determinism
+    fp2 = {r.doc_id: set(r.fingerprints) for r in
+           winnow_fingerprints(df, k=5, w=4).collect()}
+    assert fp == fp2
 
 
 def test_multimodal_plumbing(spark):
