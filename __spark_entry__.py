@@ -371,10 +371,12 @@ def q_lang_detect(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    from ela_lib_spark.functions.analysis import doc_fingerprint
+    """Analyzed-stream fingerprint (md5 variant — DuckDB-checkable; the
+    xxhash64 variant is pinned by tests/test_pinned_oracles.py)."""
+    from ela_lib_spark.functions.analysis import doc_fingerprint_md5
 
     return _docs(spark, sf_dir).select(
-        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+        "doc_id", doc_fingerprint_md5(F.col("text")).alias("fp")
     )
 
 
@@ -409,12 +411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_events_hourly": q_events_hourly,
         "q_topk_per_group": q_topk_per_group,
-        # rows-only (non-SQL-expressible kernels)
+        "q_lang_detect": q_lang_detect,
+        "q_doc_fingerprint": q_doc_fingerprint,
+        # rows-only (non-SQL-expressible kernels; each pinned by an
+        # independent pure-Python oracle in tests/test_pinned_oracles.py)
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_srp": q_ann_srp,
-        "q_lang_detect": q_lang_detect,
-        "q_doc_fingerprint": q_doc_fingerprint,
         "q_image_features": q_image_features,
     }
 
@@ -471,6 +474,45 @@ WITH src AS (
     ELSE 'same' END AS diff_class
   FROM src s FULL OUTER JOIN tgt t USING (o_orderkey)
 )
+"""
+
+
+def _lang_detect_sql() -> str:
+    """DuckDB twin of functions/analysis.detect_lang: whitespace-split
+    lowercase tokens (first 200), stopword hit-count per language,
+    argmax with first-max tie-break over sorted language codes."""
+    from ela_lib_spark.functions.analysis import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)  # ['de', 'en', 'es', 'fr']
+    counts = ",\n".join(
+        "    len(list_filter(t, x -> x IN ({}))) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS[lg])), lg
+        )
+        for lg in langs
+    )
+    # first-max over langs order == numpy argmax over sorted columns
+    tie = []
+    for i, lg in enumerate(langs[:-1]):
+        later = " AND ".join(f"c_{lg} >= c_{o}" for o in langs[i + 1:])
+        tie.append(f"WHEN {later} THEN '{lg}'")
+    gmax = ", ".join(f"c_{lg}" for lg in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '')[1:200] AS t
+  FROM documents
+), cnt AS (
+  SELECT doc_id, t,
+{counts}
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN t IS NULL THEN NULL
+            WHEN greatest({gmax}) = 0 THEN 'und'
+            {' '.join(tie)}
+            ELSE '{langs[-1]}' END AS detected
+FROM cnt
 """
 
 
@@ -566,6 +608,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS h, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "q_lang_detect": _lang_detect_sql(),
+        "q_doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOK_SQL}, chr(31))) AS fp
+            FROM documents""",
         "q_topk_per_group": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
               SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -94,6 +94,15 @@ def doc_fingerprint(text_col) -> Column:
     return F.xxhash64(F.concat_ws("\x1f", tokenize_col(text_col)))
 
 
+def doc_fingerprint_md5(text_col) -> Column:
+    """128-bit analyzed-stream fingerprint as hex (md5 over the
+    0x1F-joined token stream). Same robustness semantics as
+    `doc_fingerprint`; md5 exists in both Spark and DuckDB, so this
+    variant is oracle-checkable end-to-end (xxhash64 is not a DuckDB
+    builtin — that variant is pinned by a pure-Python twin test)."""
+    return F.md5(F.concat_ws("\x1f", tokenize_col(text_col)))
+
+
 @F.pandas_udf(T.StringType())
 def detect_lang(text: pd.Series) -> pd.Series:
     """Stopword-profile language ID (deterministic heuristic).

@@ -313,13 +313,21 @@ def chunks_from_docs(docs_df: DataFrame, skip_buckets=None) -> DataFrame:
     doc-id-ascending within each input file* (the docs job writes them
     that way: its window stage sorts every partition by (bucket, url)),
     so chunks of the same (bucket, term) from different read splits
-    cover disjoint, ordered doc ranges."""
+    cover disjoint, ordered doc ranges.
+
+    The output carries `is_m` (1 on per-bucket metrics rows, 0 on
+    posting chunks) — written with partitionBy("is_m") so the ledger /
+    resume scans read ONLY the tiny metrics sidecar via partition
+    pruning instead of every chunk file."""
     if skip_buckets:
         docs_df = docs_df.filter(
             ~F.col("bucket").isin([int(x) for x in skip_buckets])
         )
-    return docs_df.select("bucket", "doc_id", "term_ids").mapInPandas(
+    out = docs_df.select("bucket", "doc_id", "term_ids").mapInPandas(
         _spimi_fn(), schema=POSTING_CHUNKS
+    )
+    return out.withColumn(
+        "is_m", (F.col("term_id") == F.lit(METRICS_TERM_ID)).cast("int")
     )
 
 
@@ -514,6 +522,27 @@ def merge_chunks(
 # ------------------------------------------------------------ pipeline
 
 
+def _write_small_parquet(path: str, columns: dict, schema_str: str) -> None:
+    """Driver-side parquet write for tiny control tables (ledger,
+    corpus_stats) — a Spark job per kilobyte-sized write is pure
+    scheduling overhead. Layout matches a Spark write (dir + _SUCCESS)
+    so spark.read.parquet() reads it back unchanged."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    types = {"int32": pa.int32(), "int64": pa.int64(),
+             "double": pa.float64(), "string": pa.string()}
+    fields = [pa.field(n, types[t]) for n, t in
+              (p.strip().split() for p in schema_str.split(","))]
+    tbl = pa.table({f.name: pa.array(columns[f.name], f.type) for f in fields})
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
 def _read_if_exists(spark, path):
     try:
         return spark.read.parquet(path)
@@ -532,6 +561,8 @@ def done_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     if os.path.exists(ch):
         df = _read_if_exists(spark, ch)
         if df is not None:
+            if "is_m" in df.columns:  # partition-pruned metrics sidecar
+                df = df.filter(F.col("is_m") == 1)
             done |= {
                 r.part_id
                 for r in df.filter(F.col("term_id") == METRICS_TERM_ID)
@@ -623,20 +654,23 @@ def build_index(
     stage_secs["docs"] = round(time.monotonic() - _t, 2)
     docs = spark.read.parquet(docs_dir)
 
-    # job 2: SPIMI chunks (append missing buckets only)
+    # job 2: SPIMI chunks (append missing buckets only). partitionBy
+    # the is_m flag: metrics rows land in a tiny sidecar directory that
+    # ledger/resume scans read via partition pruning.
     ch_dir = chunks_path(out_dir)
     _t = time.monotonic()
     chunks_out = chunks_from_docs(docs, skip_buckets=done or None)
     mode = "append" if (resume and os.path.exists(ch_dir)) else "overwrite"
-    chunks_out.write.mode(mode).parquet(ch_dir)
+    chunks_out.write.mode(mode).partitionBy("is_m").parquet(ch_dir)
     stage_secs["chunks"] = round(time.monotonic() - _t, 2)
     chunks = spark.read.parquet(ch_dir)
 
-    # ledger + corpus stats, both derived from committed metrics rows
-    # (one small scan; n_docs/avg_dl come from the ledger sums)
+    # ledger + corpus stats, derived from committed metrics rows: ONE
+    # partition-pruned scan; the (tiny) ledger/corpus_stats tables are
+    # then written driver-side with pyarrow — no extra Spark jobs.
     _t = time.monotonic()
     ledger_rows = (
-        chunks.filter(F.col("term_id") == METRICS_TERM_ID)
+        chunks.filter((F.col("is_m") == 1) & (F.col("term_id") == METRICS_TERM_ID))
         .groupBy("part_id")
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
@@ -646,25 +680,26 @@ def build_index(
         .collect()
     )
     snapshot = f"build-{int(t_start)}"
-    ledger = spark.createDataFrame(
-        [
-            (int(r.part_id), "done", int(r.n_docs), int(r.n_tokens),
-             float(r.secs), snapshot)
-            for r in ledger_rows
-        ],
-        "part_id int, status string, n_docs long, n_tokens long, "
+    _write_small_parquet(
+        os.path.join(out_dir, "ledger"),
+        {
+            "part_id": [int(r.part_id) for r in ledger_rows],
+            "status": ["done"] * len(ledger_rows),
+            "n_docs": [int(r.n_docs) for r in ledger_rows],
+            "n_tokens": [int(r.n_tokens) for r in ledger_rows],
+            "secs": [float(r.secs) for r in ledger_rows],
+            "snapshot_id": [snapshot] * len(ledger_rows),
+        },
+        "part_id int32, status string, n_docs int64, n_tokens int64, "
         "secs double, snapshot_id string",
-    )
-    ledger.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "ledger")
     )
     n_docs = sum(r.n_docs for r in ledger_rows)
     n_tokens = sum(r.n_tokens for r in ledger_rows)
     avg_dl = float(n_tokens) / float(n_docs) if n_docs else 0.0
-    spark.createDataFrame(
-        [(int(n_docs), float(avg_dl))], "n_docs long, avg_dl double"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "corpus_stats")
+    _write_small_parquet(
+        os.path.join(out_dir, "corpus_stats"),
+        {"n_docs": [int(n_docs)], "avg_dl": [float(avg_dl)]},
+        "n_docs int64, avg_dl double",
     )
     stage_secs["ledger"] = round(time.monotonic() - _t, 2)
 

@@ -50,7 +50,7 @@ def test_resume_after_partial_build_without_ledger(spark, tmp_root):
     )
     docs = spark.read.parquet(os.path.join(part_dir, "docs"))
     half = chunks_from_docs(docs, skip_buckets={4, 5, 6, 7})
-    half.write.mode("overwrite").parquet(os.path.join(part_dir, "chunks"))
+    half.write.mode("overwrite").partitionBy("is_m").parquet(os.path.join(part_dir, "chunks"))
     assert not os.path.exists(os.path.join(part_dir, "ledger"))
 
     # done-buckets derived from the committed chunk metrics rows alone

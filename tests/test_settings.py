@@ -96,3 +96,18 @@ def test_resolve_template_index_and_list(tmp_root, spark):
     spark.range(3).write.mode("overwrite").parquet(os.path.join(warehouse, "t1"))
     spark.range(2).write.mode("overwrite").parquet(os.path.join(warehouse, "t2"))
     assert list_indexes(warehouse) == ["t1", "t2"]
+
+
+def test_create_table_like_stamps_schema(tmp_root, spark):
+    """S16: create-index settings analog — empty dataset with the
+    source's exact schema (es5.go:319-351 CreateIndex parity)."""
+    from ela_lib_spark.sources.ndjson import create_table_like
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, name string, score double"
+    )
+    path = os.path.join(tmp_root, "stamped")
+    create_table_like(spark, src, path)
+    out = spark.read.parquet(path)
+    assert out.schema == src.schema
+    assert out.count() == 0
