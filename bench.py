@@ -214,9 +214,10 @@ n parallel copy processes):
 |---|---|---|---|---|---|
 | GB/s | {bw} |
 
-Aggregate bandwidth saturates around 8 workers; above that, added
-cores share a fixed memory budget, so an 8->32 ratio measures the
-HOST's ceiling, not the job's shuffle/partition design. On a real
+Aggregate bandwidth saturates at a low worker count (~2 GB/s ceiling,
+sometimes dipping under parallel load); beyond it, added cores share a
+fixed memory budget, so a wide ratio like 8->32 measures the HOST's
+ceiling, not the job's shuffle/partition design. On a real
 cluster each added executor brings its own memory bus — the N->4N
 window below the host ceiling ({lo}->{hi}) is the faithful model of
 that. The build's scalability levers (input splits >> cores, explicit

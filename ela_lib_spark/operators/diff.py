@@ -35,6 +35,20 @@ def content_hash(df: DataFrame, key: str, cols: list[str] | None = None) -> Colu
     return F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
 
+def common_compare_cols(src: DataFrame, tgt: DataFrame, key: str) -> list[str]:
+    """F5: keyword-field intersection — compare only fields present in
+    BOTH schemas with identical types (the reference restricts the
+    content hash to the shared keyword fields when source and target
+    mappings diverge, pkg/es/es5.go keyword filtering). Sorted for a
+    pinned serialization order."""
+    t_types = {f.name: f.dataType for f in tgt.schema.fields}
+    return sorted(
+        f.name
+        for f in src.schema.fields
+        if f.name != key and t_types.get(f.name) == f.dataType
+    )
+
+
 def classify_diff(
     src: DataFrame, tgt: DataFrame, key: str = "url", cols: list[str] | None = None
 ) -> DataFrame:
@@ -42,7 +56,12 @@ def classify_diff(
 
     create = src ∖ tgt; delete = tgt ∖ src; update = hash mismatch;
     same = hash match (migrator.go:854-904 semantics).
+
+    With cols=None the hash covers the schema intersection (F5) — on
+    identical schemas that is every non-key column.
     """
+    if cols is None:
+        cols = common_compare_cols(src, tgt, key)
     s = src.select(F.col(key).alias("k"), content_hash(src, key, cols).alias("src_hash"))
     t = tgt.select(F.col(key).alias("k"), content_hash(tgt, key, cols).alias("tgt_hash"))
     j = s.join(t, "k", "full_outer")

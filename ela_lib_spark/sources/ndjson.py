@@ -24,11 +24,27 @@ ES_VERSION = "ela-lib-spark-0.1"
 def export_index(
     df: DataFrame, out_dir: str, index_name: str,
     key: str = "url", doc_type: str = "_doc", num_files: int | None = None,
+    type_mode: str = "add",
 ) -> dict:
-    """Write docs as {"_type","_id","_source":{...}} NDJSON + manifest."""
-    src_cols = [c for c in df.columns if c != key]
+    """Write docs as {"_type","_id","_source":{...}} NDJSON + manifest.
+
+    `type_mode` mirrors the reference's bulk `_type` surgery modes
+    (SURVEY T5; ES5→7 migrations drop the type): "add" stamps
+    `doc_type` on every line, "keep" passes an existing `_type` column
+    through (falling back to `doc_type`), "delete" omits the field
+    from the wire entirely.
+    """
+    src_cols = [c for c in df.columns if c != key and c != "_type"]
+    if type_mode == "delete":
+        type_cols = []
+    elif type_mode == "keep" and "_type" in df.columns:
+        type_cols = [F.coalesce(F.col("_type"), F.lit(doc_type)).alias("_type")]
+    elif type_mode in ("keep", "add"):
+        type_cols = [F.lit(doc_type).alias("_type")]
+    else:
+        raise ValueError(f"type_mode must be add|keep|delete, got {type_mode!r}")
     docs = df.select(
-        F.lit(doc_type).alias("_type"),
+        *type_cols,
         F.col(key).cast("string").alias("_id"),
         F.struct(*[F.col(c) for c in src_cols]).alias("_source"),
     )
@@ -42,9 +58,12 @@ def export_index(
         for p in glob.glob(os.path.join(data_dir, "part-*"))
         if not p.endswith(".crc")
     )
+    # the manifest schema describes the round-trippable row shape; a
+    # passthrough `_type` column is wire metadata, not row data
+    schema_df = df.drop("_type") if "_type" in df.columns else df
     manifest = {
         "total": total,
-        "settings": {"schema": df.schema.jsonValue(), "key": key},
+        "settings": {"schema": schema_df.schema.jsonValue(), "key": key},
         "files": files,
         "es_version": ES_VERSION,
         "index": index_name,

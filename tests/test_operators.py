@@ -294,3 +294,52 @@ def test_multimodal_plumbing(spark):
     f0 = feats[0]
     assert f0.width > 0 and f0.height > 0 and len(f0.feature) == 16
     assert len(f0.sha256) == 64
+
+
+def test_common_compare_cols_schema_intersection(spark):
+    """F5: classify_diff with cols=None hashes only the shared,
+    same-typed columns — a source-only column can't force 'update'."""
+    from ela_lib_spark.operators.diff import common_compare_cols
+
+    src = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 0.7)], "id long, name string, extra double"
+    )
+    tgt = spark.createDataFrame([(1, "a"), (2, "x")], "id long, name string")
+    assert common_compare_cols(src, tgt, key="id") == ["name"]
+    res = diff_result(classify_diff(src, tgt, key="id"))
+    assert res["same"] == 1 and res["update"] == 1 and res["total"] == 2
+
+
+def test_export_type_modes(spark, docs, tmp_root):
+    """T5: bulk _type surgery — add / keep (passthrough) / delete."""
+    import json as json_mod
+    import os
+
+    from pyspark.sql import functions as F2
+
+    def wire_lines(d):
+        out = []
+        for fn in sorted(os.listdir(os.path.join(d, "data"))):
+            if fn.startswith("part-") and not fn.endswith(".crc"):
+                with open(os.path.join(d, "data", fn)) as f:
+                    out += [json_mod.loads(ln) for ln in f if ln.strip()]
+        return out
+
+    d_add = os.path.join(tmp_root, "exp_add")
+    export_index(docs, d_add, "x", key="doc_id", doc_type="page")
+    assert {ln["_type"] for ln in wire_lines(d_add)} == {"page"}
+
+    d_del = os.path.join(tmp_root, "exp_del")
+    export_index(docs, d_del, "x", key="doc_id", type_mode="delete")
+    assert all("_type" not in ln for ln in wire_lines(d_del))
+    back, _ = import_index(spark, d_del)  # wire _type absent → still round-trips
+    assert diff_result(classify_diff(docs, back, key="doc_id"))["same"] == 7
+
+    d_keep = os.path.join(tmp_root, "exp_keep")
+    typed = docs.withColumn(
+        "_type", F2.when(F2.col("doc_id") % 2 == 0, "even").otherwise("odd")
+    )
+    export_index(typed, d_keep, "x", key="doc_id", type_mode="keep")
+    assert {ln["_type"] for ln in wire_lines(d_keep)} == {"even", "odd"}
+    back2, _ = import_index(spark, d_keep)  # _type is wire metadata
+    assert diff_result(classify_diff(docs, back2, key="doc_id"))["same"] == 7

@@ -80,3 +80,22 @@ def test_exact_dedup_no_full_row_shuffle(spark, pages_path):
     # left_semi broadcast or shuffled join — either is fine; the agg side
     # must show partial aggregation (map-side combine)
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_metrics_sidecar_partition_pruning(spark, index_dir):
+    """The ledger/resume scan must touch only the is_m=1 sidecar
+    partition — at 10^12 docs the posting partition is ~500 TB and the
+    sidecar is megabytes."""
+    import os
+
+    from ela_lib_spark.index.build import METRICS_TERM_ID, chunks_path
+
+    chunks = spark.read.parquet(chunks_path(index_dir))
+    q = chunks.filter(
+        (F.col("is_m") == 1) & (F.col("term_id") == METRICS_TERM_ID)
+    ).select("part_id")
+    plan = explain_str(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "is_m" in pf[0], plan[:2000]
+    # and the data files actually live under separate partition dirs
+    assert os.path.isdir(os.path.join(chunks_path(index_dir), "is_m=1"))
