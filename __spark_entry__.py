@@ -306,6 +306,29 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_text_stats(spark, sf_dir):
+    """Token-count / quality primitives (whitespace + BPE-ish counts,
+    mean token length, punctuation and stopword ratios) — all JVM
+    column expressions, fully DuckDB-expressible."""
+    from ela_lib_spark.functions.analysis import (
+        bpe_ish_token_count,
+        mean_token_len,
+        punct_ratio,
+        stopword_ratio,
+        whitespace_token_count,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.round(mean_token_len(F.col("text")), 4).alias("mean_tok_len"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -362,6 +385,30 @@ def q_ann_srp(spark, sf_dir):
     return ann_topk_srp(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=10)
 
 
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via SRP bucket pruning (pinned
+    numpy oracle in tests/test_pinned_oracles.py)."""
+    from ela_lib_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.25, n_planes=4)
+
+
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join: 5 query vectors × corpus, top-5 neighbors each
+    (pinned numpy oracle)."""
+    from ela_lib_spark.operators.similarity import knn_join_srp
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "q_id")
+    c = emb.filter(F.col("vec_id") >= 5)
+    return knn_join_srp(q, c, dim=64, k=5, n_planes=8, probe_hamming=1)
+
+
 def q_lang_detect(spark, sf_dir):
     from ela_lib_spark.functions.analysis import detect_lang
 
@@ -413,12 +460,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_per_group": q_topk_per_group,
         "q_lang_detect": q_lang_detect,
         "q_doc_fingerprint": q_doc_fingerprint,
+        "q_text_stats": q_text_stats,
         # rows-only (non-SQL-expressible kernels; each pinned by an
         # independent pure-Python oracle in tests/test_pinned_oracles.py)
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ann_srp": q_ann_srp,
         "q_image_features": q_image_features,
+        "q_embed_near_dup": q_embed_near_dup,
+        "q_knn_join": q_knn_join,
     }
 
 
@@ -516,6 +566,33 @@ FROM cnt
 """
 
 
+def _text_stats_sql() -> str:
+    from ela_lib_spark.functions.analysis import LANG_STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT
+    AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+    AS bpe_tokens,
+  round(CASE WHEN len(toks) > 0
+    THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+    ELSE 0.0 END, 4) AS mean_tok_len,
+  round(CASE WHEN length(text) > 0
+    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+         / length(text)
+    ELSE 0.0 END, 4) AS punct_ratio,
+  round(CASE WHEN len(toks) > 0
+    THEN len(list_filter(toks, x -> x IN ({sw}))) * 1.0 / len(toks)
+    ELSE 0.0 END, 4) AS stopword_ratio
+FROM t
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_count_docs": "SELECT count(*) AS n FROM documents",
@@ -609,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
         "q_lang_detect": _lang_detect_sql(),
+        "q_text_stats": _text_stats_sql(),
         "q_doc_fingerprint": f"""
             SELECT doc_id,
                    md5(array_to_string({_TOK_SQL}, chr(31))) AS fp

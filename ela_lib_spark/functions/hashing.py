@@ -171,9 +171,8 @@ def make_simhash_udf(chunk_elems: int = 262144):
 
 
 def hamming64(c1, c2) -> Column:
-    """Popcount of xor — JVM-side via bin() trick."""
-    x = c1.bitwiseXOR(c2)
-    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+    """Popcount of xor — native codegen bit_count (Spark >= 3.5)."""
+    return F.bit_count(c1.bitwiseXOR(c2))
 
 
 def band_cols(sig_col, num_bands: int, rows_per_band: int) -> list[Column]:

@@ -266,3 +266,89 @@ def test_doc_fingerprint_xxhash64_matches_twin(spark, docs_pdf):
         "doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
     for doc_id, text in zip(sample["doc_id"], sample["text"]):
         assert got[int(doc_id)] == _xxh("\x1f".join(_toks(text)))
+
+
+def _half_up6(x: float) -> float:
+    import math
+
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+
+def test_q_embed_near_dup_matches_numpy(spark):
+    import __spark_entry__ as entry
+
+    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), np.float64)
+            for r in emb.itertuples()}
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((4, 64))
+
+    def bucket(v):
+        return int(((planes @ v >= 0).astype(np.int64)
+                    * (1 << np.arange(4))).sum())
+
+    by_bucket: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        by_bucket.setdefault(bucket(v), []).append(vid)
+    expected = set()
+    for members in by_bucket.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            a = vecs[ms[i]]
+            na = np.sqrt(a @ a)
+            for j in range(i + 1, len(ms)):
+                b = vecs[ms[j]]
+                c = _half_up6(float(a @ b / (na * np.sqrt(b @ b))))
+                if c >= 0.25:
+                    expected.add((ms[i], ms[j], c))
+
+    got = {(r.a, r.b, r.cosine)
+           for r in entry.q_embed_near_dup(spark, SF_DIR).collect()}
+    assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in expected}
+    exp_by_pair = {(a, b): c for a, b, c in expected}
+    for a, b, c in got:
+        assert abs(c - exp_by_pair[(a, b)]) < 1e-5, (a, b, c)
+
+
+def test_q_knn_join_matches_numpy(spark):
+    import __spark_entry__ as entry
+
+    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), np.float64)
+            for r in emb.itertuples()}
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+
+    def bucket(v):
+        return int(((planes @ v >= 0).astype(np.int64)
+                    * (1 << np.arange(8))).sum())
+
+    corpus = {vid: v for vid, v in vecs.items() if vid >= 5}
+    cb = {vid: bucket(v) for vid, v in corpus.items()}
+    expected = {}
+    for qid in range(5):
+        qv = vecs[qid]
+        qb = bucket(qv)
+        probes = {qb} | {qb ^ (1 << i) for i in range(8)}
+        qn = np.sqrt(qv @ qv)
+        cands = [
+            (float(corpus[vid] @ qv / (np.sqrt(corpus[vid] @ corpus[vid]) * qn)), vid)
+            for vid in corpus if cb[vid] in probes
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        expected[qid] = [(vid, c, rk + 1) for rk, (c, vid) in enumerate(cands[:5])]
+
+    rows = entry.q_knn_join(spark, SF_DIR).collect()
+    got: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.q_id, r.rank)):
+        got.setdefault(r.q_id, []).append((r.vec_id, r.cosine, r.rank))
+    assert set(got) == set(expected)
+    for qid in expected:
+        assert [(v, rk) for v, _, rk in got[qid]] == [
+            (v, rk) for v, _, rk in expected[qid]
+        ], (qid, got[qid], expected[qid])
+        np.testing.assert_allclose(
+            [c for _, c, _ in got[qid]], [c for _, c, _ in expected[qid]],
+            atol=1e-5,
+        )
