@@ -99,3 +99,19 @@ def test_metrics_sidecar_partition_pruning(spark, index_dir):
     assert pf and "is_m" in pf[0], plan[:2000]
     # and the data files actually live under separate partition dirs
     assert os.path.isdir(os.path.join(chunks_path(index_dir), "is_m=1"))
+
+
+def test_and_block_prefilter_prunes_shuffle(spark, index):
+    """head∧rare AND: the pre-filter must drop a meaningful share of
+    the head term's blocks before the shard shuffle (shuffle-IO saving
+    on top of block-max decode skipping), and never drop a block that
+    could hold an AND-result doc (rank-identity is asserted separately
+    by test_index_and_wand over AND queries)."""
+    from ela_lib_spark.functions.xxh import spark_xxhash64
+    from ela_lib_spark.query.wand import and_block_prefilter
+
+    ids = [spark_xxhash64(t) for t in ("term0003", "term5011")]
+    q = index["postings"].filter(F.col("term_id").isin(ids))
+    before = q.count()
+    after = and_block_prefilter(q, 2).count()
+    assert after < before, (before, after)
