@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators (applyInPandasWithState)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ela_lib_spark.schemas import WEB_PAGES
+from ela_lib_spark.sources.synth import synth_pages_df
+from ela_lib_spark.streaming.stateful import (
+    streaming_events_hourly,
+    streaming_exact_dedup,
+)
+
+
+def test_streaming_exact_dedup_cross_batch_state(spark, tmp_root):
+    """Duplicates must be dropped WITHIN a micro-batch and ACROSS
+    micro-batches (the state store carries the seen-set), and the
+    stream must survive a restart from the checkpoint."""
+    incoming = os.path.join(tmp_root, "dedup_in")
+    ckpt = os.path.join(tmp_root, "dedup_ckpt")
+    os.makedirs(incoming, exist_ok=True)
+
+    pages = synth_pages_df(spark, 60).cache()
+    # batch 1: docs 0-39, with 0-19 written twice (in-batch dups)
+    b1 = pages.limit(40).unionByName(pages.limit(20))
+    b1.write.mode("overwrite").parquet(os.path.join(incoming, "b1"))
+
+    sink = os.path.join(tmp_root, "dedup_sink")
+
+    def start():
+        stream = spark.readStream.schema(WEB_PAGES).parquet(incoming + "/*")
+        return (
+            streaming_exact_dedup(stream, n_shards=8)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    got1 = spark.read.parquet(sink).collect()
+    assert len(got1) == 40  # in-batch dups collapsed
+    assert len({r.content_hash for r in got1}) == 40
+
+    # batch 2: docs 20-59 → 20-39 are cross-batch dups, 40-59 are new
+    pages.subtract(pages.limit(20)).write.mode("overwrite").parquet(
+        os.path.join(incoming, "b2")
+    )
+    q.processAllAvailable()
+    got2 = spark.read.parquet(sink).collect()
+    assert len(got2) == 60, "cross-batch duplicates leaked through state"
+    assert len({r.url for r in got2}) == 60
+    q.stop()
+
+    # restart from checkpoint: a third batch repeating everything adds 0
+    pages.write.mode("overwrite").parquet(os.path.join(incoming, "b3"))
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    got3 = spark.read.parquet(sink).collect()
+    assert len(got3) == 60, "restart lost the seen-set state"
+    assert len({r.url for r in got3}) == 60
+
+
+def test_streaming_events_hourly_watermarked(spark, tmp_root):
+    incoming = os.path.join(tmp_root, "ev_in")
+    os.makedirs(incoming, exist_ok=True)
+    rows = [
+        (i, f"t{i % 3}", float(i), f"2024-01-01 {i % 4:02d}:15:00")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts_s string"
+    ).select("event_id", "event_type", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.write.mode("overwrite").parquet(os.path.join(incoming, "b1"))
+
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double, ts timestamp"
+    ).parquet(incoming + "/*")
+    agg = streaming_events_hourly(stream)
+    assert agg.isStreaming
+    # the watermark must be in the plan (late-data eviction at scale)
+    assert "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+    q = (
+        agg.writeStream.format("memory").queryName("ev_sink")
+        .outputMode("complete").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.window.start.hour, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("select * from ev_sink").collect()
+    }
+    exp = {}
+    for i, et, v, _ in rows:
+        k = (i % 4, f"t{i % 3}")
+        n, s = exp.get(k, (0, 0.0))
+        exp[k] = (n + 1, s + v)
+    assert {(h, t): (n, round(s, 6)) for (h, t), (n, s) in got.items()} == {
+        (h, t): (n, round(s, 6)) for (h, t), (n, s) in exp.items()
+    }
