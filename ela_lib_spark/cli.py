@@ -14,7 +14,9 @@ import json
 import sys
 
 
-def main(argv=None):
+def main(argv=None, spark=None):
+    """CLI dispatch. `spark` injection is for in-process tests — when
+    provided, the session is neither created nor stopped here."""
     p = argparse.ArgumentParser(prog="ela_lib_spark")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
@@ -60,12 +62,28 @@ def main(argv=None):
     i.add_argument("src_dir")
     i.add_argument("out")
 
+    sy = sub.add_parser("sync", help="copy_index/sync: bulk copy src → tgt")
+    sy.add_argument("src")
+    sy.add_argument("out")
+    sy.add_argument("--mode", default="append", choices=["append", "overwrite"])
+
+    ct = sub.add_parser(
+        "create_template",
+        help="stamp an empty dataset with the schema of the index matching "
+             "the glob patterns (migrator.go:590-635 resolution)",
+    )
+    ct.add_argument("warehouse")
+    ct.add_argument("out")
+    ct.add_argument("patterns", nargs="+")
+
     args = p.parse_args(argv)
 
-    from ela_lib_spark.session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        from ela_lib_spark.session import get_spark
 
-    master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
-    spark = get_spark("ela_lib_spark_cli", master=master)
+        master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
+        spark = get_spark("ela_lib_spark_cli", master=master)
 
     if args.cmd == "synth":
         from ela_lib_spark.sources.synth import write_web_pages
@@ -120,7 +138,33 @@ def main(argv=None):
         df, m = import_index(spark, args.src_dir)
         df.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"imported": m["total"], "path": args.out}))
-    spark.stop()
+    elif args.cmd == "sync":
+        from ela_lib_spark.operators.diff import sync_append
+
+        src = spark.read.parquet(args.src)
+        sync_append(src, args.out, mode=args.mode)
+        print(json.dumps({"synced": src.count(), "path": args.out,
+                          "mode": args.mode}))
+    elif args.cmd == "create_template":
+        import os as _os
+
+        from ela_lib_spark.operators.taskrunner import (
+            list_indexes,
+            resolve_template_index,
+        )
+        from ela_lib_spark.sources.ndjson import create_table_like
+
+        name = resolve_template_index(args.patterns, list_indexes(args.warehouse))
+        if name is None:
+            print(json.dumps({"error": "no index matches patterns"}))
+            if owns_session:
+                spark.stop()
+            return 1
+        src = spark.read.parquet(_os.path.join(args.warehouse, name))
+        create_table_like(spark, src, args.out)
+        print(json.dumps({"template_from": name, "path": args.out}))
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -734,13 +734,27 @@ def build_index(
 
 
 def load_index(spark: SparkSession, out_dir: str) -> dict:
+    from ela_lib_spark.errors import IndexCorruptError, IndexNotFoundError
+
     manifest = read_manifest(out_dir)
-    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    return {
-        "manifest": manifest,
-        "postings": spark.read.parquet(postings_path(out_dir)),
-        "docs": docs,
-        "doc_stats": doc_stats_from_docs(docs),
-        "corpus_stats": spark.read.parquet(os.path.join(out_dir, "corpus_stats")),
-        "ledger": spark.read.parquet(os.path.join(out_dir, "ledger")),
-    }
+    if manifest is None:
+        raise IndexNotFoundError(
+            f"no manifest.json under {out_dir!r} — not a published index"
+        )
+    try:
+        docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+        out = {
+            "manifest": manifest,
+            "postings": spark.read.parquet(postings_path(out_dir)),
+            "docs": docs,
+            "doc_stats": doc_stats_from_docs(docs),
+            "corpus_stats": spark.read.parquet(
+                os.path.join(out_dir, "corpus_stats")
+            ),
+            "ledger": spark.read.parquet(os.path.join(out_dir, "ledger")),
+        }
+    except Exception as e:  # manifest points at missing/unreadable data
+        raise IndexCorruptError(
+            f"manifest at {out_dir!r} references unreadable datasets: {e}"
+        ) from e
+    return out

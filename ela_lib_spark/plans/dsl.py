@@ -23,8 +23,11 @@ from ela_lib_spark.functions.text import tokenize_col
 ID_FIELD = "_id"  # ES meta-field; maps to our primary key column
 
 
-class DslError(ValueError):
-    pass
+from ela_lib_spark.errors import EngineError
+
+
+class DslError(EngineError, ValueError):
+    """Unknown/invalid query-DSL clause (O9 typed error taxonomy)."""
 
 
 def _field(name: str, key_col: str) -> Column:

@@ -105,3 +105,47 @@ def test_filter_tables():
     assert filter_tables(names, ["*"], skip_system=True) == [
         "events", "lineitem", "orders", "orders_v2",
     ]
+
+
+def test_cli_end_to_end(spark, tmp_root, capsys):
+    """O1/G2 e2e: the CLI dispatch path for every reference action,
+    in-process (session injected)."""
+    import json as json_mod
+    import os
+
+    from ela_lib_spark.cli import main
+
+    wh = os.path.join(tmp_root, "cli_wh")
+    pages = os.path.join(wh, "pages_a")
+    assert main(["synth", pages, "--n-docs", "600"], spark=spark) == 0
+    idx = os.path.join(tmp_root, "cli_idx")
+    assert main(["build_index", pages, idx, "--use-html",
+                 "--n-buckets", "4", "--n-shards", "2"], spark=spark) == 0
+    assert main(["query", idx, "term0000", "--mode", "OR", "-k", "3"],
+                spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [json_mod.loads(ln) for ln in out[-3:]]
+    assert len(rows) == 3 and all("doc_id" in r and "score" in r for r in rows)
+
+    tgt = os.path.join(tmp_root, "cli_tgt")
+    assert main(["sync", pages, tgt, "--mode", "overwrite"], spark=spark) == 0
+    assert main(["compare", pages, tgt, "--key", "url"], spark=spark) == 0
+    res = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["same"] == 600 and res["percent_same"] == 100.0
+
+    exp = os.path.join(tmp_root, "cli_exp")
+    assert main(["export", pages, exp, "--key", "url"], spark=spark) == 0
+    imp = os.path.join(tmp_root, "cli_imp")
+    assert main(["import", exp, imp], spark=spark) == 0
+    assert spark.read.parquet(imp).count() == 600
+
+    sd = os.path.join(tmp_root, "cli_sd")
+    assert main(["sync_diff", pages, imp, sd, "--key", "url"], spark=spark) == 0
+
+    tpl = os.path.join(tmp_root, "cli_tpl")
+    assert main(["create_template", wh, tpl, "pages_*"], spark=spark) == 0
+    t = spark.read.parquet(tpl)
+    assert t.count() == 0 and set(t.columns) == set(
+        spark.read.parquet(pages).columns
+    )
+    assert main(["create_template", wh, tpl, "zzz_*"], spark=spark) == 1

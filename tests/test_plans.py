@@ -115,3 +115,22 @@ def test_and_block_prefilter_prunes_shuffle(spark, index):
     before = q.count()
     after = and_block_prefilter(q, 2).count()
     assert after < before, (before, after)
+
+
+def test_typed_errors(spark, tmp_root):
+    """O9: actionable failures raise typed EngineError subclasses."""
+    import os
+
+    import pytest as _pytest
+
+    from ela_lib_spark.errors import EngineError, IndexNotFoundError
+    from ela_lib_spark.index.build import load_index
+    from ela_lib_spark.plans.dsl import DslError, dsl_filter
+
+    with _pytest.raises(IndexNotFoundError):
+        load_index(spark, os.path.join(tmp_root, "nope"))
+    d = spark.range(3).selectExpr("cast(id as string) as url")
+    with _pytest.raises(DslError):
+        dsl_filter(d, {"bogus": {}}, key_col="url")
+    assert issubclass(DslError, EngineError)
+    assert issubclass(IndexNotFoundError, EngineError)
