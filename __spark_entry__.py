@@ -409,6 +409,16 @@ def q_knn_join(spark, sf_dir):
     return knn_join_srp(q, c, dim=64, k=5, n_planes=8, probe_hamming=1)
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing passage-overlap pairs (pinned pure-Python oracle)."""
+    from ela_lib_spark.operators.dedup import winnow_overlap_pairs
+
+    _ensure_pkg(spark)
+    return winnow_overlap_pairs(
+        _docs(spark, sf_dir), key="doc_id", text_col="text", min_common=2
+    )
+
+
 def q_lang_detect(spark, sf_dir):
     from ela_lib_spark.functions.analysis import detect_lang
 
@@ -469,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_features": q_image_features,
         "q_embed_near_dup": q_embed_near_dup,
         "q_knn_join": q_knn_join,
+        "q_winnow_overlap": q_winnow_overlap,
     }
 
 

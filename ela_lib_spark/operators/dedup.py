@@ -224,6 +224,37 @@ def simhash_near_dup_pairs(
     ).select("a", "b", "hamming")
 
 
+def winnow_overlap_pairs(
+    df: DataFrame, key: str = "doc_id", text_col: str = "text",
+    k: int = 5, w: int = 4, min_common: int = 1,
+    max_fp_df: int | None = 10_000,
+) -> DataFrame:
+    """Passage-overlap candidates via winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03): docs sharing ≥ min_common
+    selected k-gram hashes share a ≥(k+w-1)-token passage candidate.
+
+    Plan shape mirrors ngram_jaccard_pairs: explode fingerprints,
+    self-join on fingerprint, count per pair. `max_fp_df` drops
+    boilerplate fingerprints before the join (a fingerprint in n docs
+    costs n² join rows) — same guard, same rationale."""
+    from ela_lib_spark.functions.analysis import winnow_fingerprints
+
+    fp = winnow_fingerprints(df, key=key, text_col=text_col, k=k, w=w)
+    ex = fp.select(key, F.explode("fingerprints").alias("fp"))
+    if max_fp_df is not None:
+        dfreq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
+        ex = ex.join(dfreq.filter(F.col("_df") <= max_fp_df).drop("_df"), "fp")
+    l = ex.select(F.col(key).alias("a"), "fp")
+    r = ex.select(F.col(key).alias("b"), "fp")
+    return (
+        l.join(r, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common_fps"))
+        .filter(F.col("common_fps") >= min_common)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, key: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None,

@@ -352,3 +352,43 @@ def test_q_knn_join_matches_numpy(spark):
             [c for _, c, _ in got[qid]], [c for _, c, _ in expected[qid]],
             atol=1e-5,
         )
+
+
+def test_q_winnow_overlap_matches_pure_python(spark, docs_pdf):
+    """Winnowing re-derived with Python ints: Karp-Rabin mod-2^64
+    rolling hash over xxh64 token hashes, min-per-window selection,
+    then the pair-count join."""
+    import __spark_entry__ as entry
+
+    K, W, BASE = 5, 4, 1000003
+
+    def winnow(tokens: list[str]) -> set[int]:
+        h = [_xxh(t) & M64 for t in tokens]
+        if len(h) < K:
+            return set()
+        powers = [1] * K
+        for i in range(K - 2, -1, -1):
+            powers[i] = (powers[i + 1] * BASE) & M64
+        rh = [
+            sum(h[i + j] * powers[j] for j in range(K)) & M64
+            for i in range(len(h) - K + 1)
+        ]
+        if len(rh) <= W:
+            sel = set(rh)
+        else:
+            sel = {min(rh[i:i + W]) for i in range(len(rh) - W + 1)}
+        return {v - (1 << 64) if v >= (1 << 63) else v for v in sel}
+
+    fps = {int(d): winnow(_toks(t))
+           for d, t in zip(docs_pdf["doc_id"], docs_pdf["text"])}
+    ids = sorted(fps)
+    expected = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            common = len(fps[ids[i]] & fps[ids[j]])
+            if common >= 2:
+                expected[(ids[i], ids[j])] = common
+
+    got = {(r.a, r.b): r.common_fps
+           for r in entry.q_winnow_overlap(spark, SF_DIR).collect()}
+    assert got == expected
