@@ -99,7 +99,14 @@ def _flat_corpus(spark, sf_dir):
         d = _docs(spark, sf_dir).select(
             "doc_id", tokenize_col(F.col("text")).alias("tokens")
         )
-        postings = flat_postings(d).cache()
+        # cluster the cache by term: each cached batch covers a narrow
+        # term range, so the per-query term filter prunes batches via
+        # in-memory batch stats instead of scanning the whole relation
+        postings = (
+            flat_postings(d).repartition(8, "term")
+            .sortWithinPartitions("term").cache()
+        )
+        postings.count()  # materialize: corpus prep, not query latency
         dl = doc_lens(d).cache()
         n_docs = dl.count()
         avg_dl = dl.select(F.avg("doc_len")).first()[0]
@@ -111,7 +118,11 @@ def _bm25_flat_df(spark, sf_dir, terms, mode="OR", k=10):
     from ela_lib_spark.query.bm25 import bm25_topk_flat
 
     postings, dl, n_docs, avg_dl = _flat_corpus(spark, sf_dir)
-    top = bm25_topk_flat(postings, dl, n_docs, avg_dl, terms, mode, k)
+    # doc stats broadcast: this is the small-scale serving/oracle
+    # surface (WAND over the compressed index is the 100-TB path, and
+    # never materializes a doc-stats join at all)
+    top = bm25_topk_flat(postings, F.broadcast(dl), n_docs, avg_dl, terms,
+                         mode, k)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -409,6 +420,20 @@ def q_knn_join(spark, sf_dir):
     return knn_join_srp(q, c, dim=64, k=5, n_planes=8, probe_hamming=1)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-ANN: deterministic coarse quantizer + probe-list rerank
+    (pinned numpy oracle)."""
+    from ela_lib_spark.operators.similarity import ann_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return ann_topk_ivf(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, n_lists=16, n_probe=4
+    )
+
+
 def q_winnow_overlap(spark, sf_dir):
     """Winnowing passage-overlap pairs (pinned pure-Python oracle)."""
     from ela_lib_spark.operators.dedup import winnow_overlap_pairs
@@ -480,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": q_embed_near_dup,
         "q_knn_join": q_knn_join,
         "q_winnow_overlap": q_winnow_overlap,
+        "q_ann_ivf": q_ann_ivf,
     }
 
 

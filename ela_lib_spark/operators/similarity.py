@@ -196,6 +196,80 @@ def knn_join_srp(
     )
 
 
+def ivf_train_centroids(
+    df: DataFrame, dim: int, n_lists: int = 16,
+    key: str = "vec_id", vec_col: str = "embedding",
+    sample_n: int = 100_000, iters: int = 10,
+) -> np.ndarray:
+    """Deterministic driver-side Lloyd k-means for the IVF coarse
+    quantizer (the classic IVF recipe: train on a bounded sample —
+    ~256×n_lists vectors suffice — never on the full corpus).
+
+    Determinism: the sample is the `sample_n` smallest keys
+    (TakeOrdered — a distributed top-k, not a full sort), init is the
+    first n_lists sample vectors, iterations are a fixed count, and an
+    emptied cluster keeps its previous centroid. No RNG → the same
+    centroids at any parallelism, which resume and the pinned oracle
+    both rely on."""
+    rows = (
+        df.select(key, vec_col).orderBy(key).limit(sample_n).collect()
+    )
+    x = np.array([list(r[1]) for r in rows], np.float64)
+    cent = x[:n_lists].copy()
+    for _ in range(iters):
+        # ||x-c||² = ||c||² - 2 x·c (+ ||x||², rank-constant): one matmul
+        d2 = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = d2.argmin(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].sum(axis=0) / m.sum()
+    return cent
+
+
+def ivf_assign_col(vec_col, centroids: np.ndarray):
+    """list id = argmin_c ||v - c||² — one Arrow matmul per batch
+    (||v-c||² = ||v||² - 2·v·c + ||c||²; ||v||² is rank-constant)."""
+    ct = np.ascontiguousarray(centroids.T)
+    c2 = (centroids ** 2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack([np.asarray(v, np.float64) for v in vecs])
+        scores = c2[None, :] - 2.0 * (m @ ct)
+        return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    return assign(vec_col)
+
+
+def ann_topk_ivf(
+    df: DataFrame, q: list[float], k: int = 10,
+    vec_col: str = "embedding", key: str = "vec_id",
+    n_lists: int = 16, n_probe: int = 4, sample_n: int = 100_000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: probe the n_probe inverted lists whose centroids are
+    nearest the query, exact-cosine rerank inside.
+
+    At 100 TB the corpus is WRITTEN partitioned by `_list`
+    (DataFrameWriter.partitionBy), so a probe reads n_probe/n_lists of
+    the data via partition pruning; centroids are trained once on a
+    bounded sample and shipped as a broadcast-sized constant."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            df, len(q), n_lists, key, vec_col, sample_n
+        )
+    qv = np.asarray(q, np.float64)
+    d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:n_probe]]
+    assigned = df.withColumn("_list", ivf_assign_col(F.col(vec_col), centroids))
+    cand = assigned.filter(F.col("_list").isin(probes))
+    scored = cand.select(key, cosine_sim_col(F.col(vec_col), q).alias("_cos_raw"))
+    return _topk_by_cosine(scored, key, k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, dim: int, key: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_planes: int = 8, seed: int = 42,

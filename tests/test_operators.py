@@ -343,3 +343,24 @@ def test_export_type_modes(spark, docs, tmp_root):
     assert {ln["_type"] for ln in wire_lines(d_keep)} == {"even", "odd"}
     back2, _ = import_index(spark, d_keep)  # _type is wire metadata
     assert diff_result(classify_diff(docs, back2, key="doc_id"))["same"] == 7
+
+
+def test_ann_ivf_planted_neighbor(spark):
+    """IVF recall: a vector nearly identical to the query must surface
+    as the top-1 result through the probe-list path."""
+    import numpy as np
+
+    from ela_lib_spark.operators.similarity import ann_topk_ivf
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 16))
+    q = rng.standard_normal(16)
+    base[42] = q + rng.standard_normal(16) * 0.01  # planted near-dup
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in base[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    got = ann_topk_ivf(df, [float(v) for v in q], k=5, n_lists=8, n_probe=3)
+    rows = got.collect()
+    assert rows[0].vec_id == 42
+    assert rows[0].cosine > 0.99

@@ -392,3 +392,43 @@ def test_q_winnow_overlap_matches_pure_python(spark, docs_pdf):
     got = {(r.a, r.b): r.common_fps
            for r in entry.q_winnow_overlap(spark, SF_DIR).collect()}
     assert got == expected
+
+
+def test_q_ann_ivf_matches_numpy(spark):
+    """Full IVF re-derivation: deterministic sample (smallest keys),
+    first-n init, fixed Lloyd iterations, probe-list selection, exact
+    cosine rerank."""
+    import __spark_entry__ as entry
+
+    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    vecs = {int(r.vec_id): np.asarray(list(r.embedding), np.float64)
+            for r in emb.itertuples()}
+    q = vecs[0]
+    corpus_ids = sorted(v for v in vecs if v != 0)
+    x = np.array([vecs[v] for v in corpus_ids])
+
+    cent = x[:16].copy()
+    for _ in range(10):
+        d2 = (cent ** 2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)
+        assign = d2.argmin(axis=1)
+        for c in range(16):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].sum(axis=0) / m.sum()
+
+    d2q = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probes = set(np.argsort(d2q)[:4].tolist())
+    final = ((cent ** 2).sum(axis=1)[None, :] - 2.0 * (x @ cent.T)).argmin(axis=1)
+    qn = np.sqrt(q @ q)
+    cands = [
+        (float(x[i] @ q / (np.sqrt(x[i] @ x[i]) * qn)), corpus_ids[i])
+        for i in range(len(corpus_ids)) if final[i] in probes
+    ]
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    expected = cands[:10]
+
+    got = entry.q_ann_ivf(spark, SF_DIR).collect()
+    assert [r.vec_id for r in got] == [vid for _, vid in expected]
+    np.testing.assert_allclose(
+        [r.cosine for r in got], [c for c, _ in expected], atol=1e-6
+    )
