@@ -46,8 +46,38 @@ def shingle_col(tokens_col, n: int = 3) -> Column:
 
 
 def shingle_hash_col(tokens_col, n: int = 3) -> Column:
-    """array<string> tokens → array<long> of xxhash64(shingle) (JVM)."""
+    """array<string> tokens → array<long> of xxhash64(shingle) (JVM).
+
+    String basis (hash of the space-joined shingle). Prefer
+    `with_shingle_hashes` in hot paths — building 10⁸⁺ shingle STRINGS
+    just to hash them is ~6× slower than chaining over token hashes."""
     return token_hash_col(shingle_col(tokens_col, n))
+
+
+def with_shingle_hashes(df, tokens_expr, n: int = 3, out_col: str = "_sh",
+                        keep: list[str] | None = None):
+    """df → (keep..., out_col: array<long>) of shingle hashes, computed
+    WITHOUT materializing shingle strings: tokens hash JVM-side to an
+    int64 array (one projection — the column must be bound, or each
+    element_at re-evaluates the whole inner transform, O(n²)), then the
+    shingle hash chains multi-arg xxhash64 over the n token hashes.
+
+    Hash basis (for oracles): h = 42; for each of the n token hashes
+    t (signed int64): h = XXH64(little_endian_8bytes(t), seed=h) —
+    Spark's multi-arg xxhash64 chaining. Measured 6-7× faster than the
+    string-shingle basis at ~300 shingles/doc."""
+    keep = keep if keep is not None else []
+    staged = df.select(*keep, token_hash_col(tokens_expr).alias("_th"))
+    idx = F.sequence(F.lit(1), F.size(F.col("_th")) - (n - 1))
+    sh = F.when(
+        F.size(F.col("_th")) >= n,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + j)
+                                   for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast(T.ArrayType(T.LongType())))
+    return staged.select(*keep, sh.alias(out_col))
 
 
 # ------------------------------------------- Mersenne-61 modular kernels

@@ -57,16 +57,30 @@ def docs_pdf() -> pd.DataFrame:
 # ------------------------------------------------------------- minhash
 
 
-def _minhash_sig(shingles: list[str], a: list[int], b: list[int]) -> list[int]:
-    if not shingles:
+def _chain_xxh_longs(ls: list[int]) -> int:
+    """Spark multi-arg xxhash64 over signed int64s: seed-chained XXH64
+    of each value's little-endian 8 bytes."""
+    import struct
+
+    from ela_lib_spark.functions.xxh import xxhash64_bytes
+
+    h = 42
+    for v in ls:
+        h = xxhash64_bytes(struct.pack("<q", v), h)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _minhash_sig(shingle_hashes: list[int], a: list[int], b: list[int]) -> list[int]:
+    if not shingle_hashes:
         return [0] * len(a)
-    xs = [(_xxh(s) & M64) % M61 for s in shingles]
+    xs = [(h & M64) % M61 for h in shingle_hashes]
     return [min((ai * x + bi) % M61 for x in xs) for ai, bi in zip(a, b)]
 
 
 def test_q_minhash_dedup_matches_pure_python(spark, docs_pdf):
-    """Full pipeline oracle: shingle → minhash → band → candidate →
-    verify → union-find → keep-min — all in pure Python bigints."""
+    """Full pipeline oracle: token-hash → chained shingle hash →
+    minhash → band → candidate → verify → union-find → keep-min — all
+    in pure Python bigints."""
     import __spark_entry__ as entry
     from ela_lib_spark.functions.hashing import minhash_params
 
@@ -76,7 +90,9 @@ def test_q_minhash_dedup_matches_pure_python(spark, docs_pdf):
     sigs: dict[int, list[int]] = {}
     for doc_id, text in zip(docs_pdf["doc_id"], docs_pdf["text"]):
         t = _toks(text)
-        sh = sorted({" ".join(t[i:i + 3]) for i in range(len(t) - 2)}) if len(t) >= 3 else []
+        th = [_xxh(tok) for tok in t]
+        sh = ([_chain_xxh_longs(th[i:i + 3]) for i in range(len(th) - 2)]
+              if len(th) >= 3 else [])
         sigs[int(doc_id)] = _minhash_sig(sh, a, b)
 
     # banding: 16 bands × 4 rows; band hash = xxh64 of comma-joined sig values
