@@ -17,7 +17,7 @@ cast to int, and re-padded — byte-identical semantics here.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame

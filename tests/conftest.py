@@ -65,8 +65,6 @@ def index(spark, index_dir):
 def corpus_tokens(spark, index, pages_path):
     """{doc_id: tokens} ground truth, via the same JVM tokenizer +
     doc-id assignment used by the build."""
-    from pyspark.sql import functions as F
-
     from ela_lib_spark.index.build import pages_with_tokens, with_doc_ids
 
     pages = spark.read.parquet(pages_path)

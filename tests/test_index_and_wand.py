@@ -1,7 +1,6 @@
 """End-to-end index build + rank-identity of the WAND executor vs the
 brute-force oracle (FIXTURES.md §2) — exact float64 score equality."""
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 

@@ -12,7 +12,6 @@ from ela_lib_spark.operators.dedup import (
     connected_components,
     dedup_exact,
     dedup_minhash_lsh,
-    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_signatures,
