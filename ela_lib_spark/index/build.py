@@ -598,10 +598,26 @@ def read_manifest(out_dir: str) -> dict | None:
 def write_manifest(out_dir: str, manifest: dict) -> None:
     """Atomic manifest flip (os.replace) — THE single commit point for
     index publishes: data dirs are written to versioned names first,
-    then the manifest pointer switches readers over."""
+    then the manifest pointer switches readers over.
+
+    Snapshot log (Iceberg metadata-log analog): every committed
+    manifest is also archived under snapshots/<snapshot_id>.json, so
+    `load_index(snapshot_id=...)` can time-travel to any published
+    state whose data dirs still exist (compaction prunes old data;
+    the log itself is append-only and tiny)."""
+    snap = manifest.get("snapshot_id")
+    hist = list(manifest.get("history", []))
+    if snap and snap not in hist:
+        hist.append(snap)
+    manifest = dict(manifest, history=hist)
     tmp = _manifest_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    if snap:
+        sdir = os.path.join(out_dir, "snapshots")
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, f"{snap}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
     os.replace(tmp, _manifest_path(out_dir))
 
 
@@ -733,10 +749,23 @@ def build_index(
     return manifest
 
 
-def load_index(spark: SparkSession, out_dir: str) -> dict:
+def load_index(spark: SparkSession, out_dir: str,
+               snapshot_id: str | None = None) -> dict:
+    """Open a published index. `snapshot_id` time-travels to an
+    archived snapshot manifest (snapshots/<id>.json) — readable as
+    long as compaction hasn't pruned the data dirs it references."""
     from ela_lib_spark.errors import IndexCorruptError, IndexNotFoundError
 
-    manifest = read_manifest(out_dir)
+    if snapshot_id is not None:
+        p = os.path.join(out_dir, "snapshots", f"{snapshot_id}.json")
+        if not os.path.exists(p):
+            raise IndexNotFoundError(
+                f"snapshot {snapshot_id!r} not in {out_dir!r}/snapshots"
+            )
+        with open(p) as f:
+            manifest = json.load(f)
+    else:
+        manifest = read_manifest(out_dir)
     if manifest is None:
         raise IndexNotFoundError(
             f"no manifest.json under {out_dir!r} — not a published index"
@@ -745,7 +774,9 @@ def load_index(spark: SparkSession, out_dir: str) -> dict:
         docs = spark.read.parquet(os.path.join(out_dir, "docs"))
         out = {
             "manifest": manifest,
-            "postings": spark.read.parquet(postings_path(out_dir)),
+            "postings": spark.read.parquet(
+                os.path.join(out_dir, manifest.get("postings_dir", "postings"))
+            ),
             "docs": docs,
             "doc_stats": doc_stats_from_docs(docs),
             "corpus_stats": spark.read.parquet(

@@ -150,6 +150,7 @@ def compact_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dic
     manifest["postings_dir"] = new_postings_name
     manifest["chunks_dir"] = new_chunks_name
     manifest["compaction_gen"] = gen
+    manifest["snapshot_id"] = f"compact-{gen}"
     manifest["n_docs"] = int(n_docs)
     manifest["avg_dl"] = avg_dl
     write_manifest(index_dir, manifest)

@@ -62,3 +62,36 @@ def test_compaction_rank_identity(spark, tmp_root):
         got = [(r.doc_id, r.score)
                for r in wand_topk(idx, terms, mode, k=10).collect()]
         assert got == want, (terms, mode)
+
+
+def test_snapshot_log_and_time_travel(spark, tmp_root):
+    """Every publish archives its manifest under snapshots/ (Iceberg
+    metadata-log analog): time-travel loads work while the referenced
+    data dirs exist; after compaction prunes them, loading the stale
+    snapshot raises the typed corruption error."""
+    import pytest as _pytest
+
+    from ela_lib_spark.errors import IndexCorruptError, IndexNotFoundError
+
+    idx_dir = os.path.join(tmp_root, "snap_idx")
+    pages = synth_pages_df(spark, 300).cache()
+    m0 = build_index(spark, pages.limit(200), idx_dir, n_buckets=4, n_shards=2)
+    snap0 = m0["snapshot_id"]
+    assert os.path.exists(os.path.join(idx_dir, "snapshots", f"{snap0}.json"))
+
+    via_snap = load_index(spark, idx_dir, snapshot_id=snap0)
+    assert via_snap["manifest"]["n_docs"] == 200
+
+    apply_delta_batch(pages.subtract(pages.limit(200)), 0, idx_dir, n_buckets=4)
+    compact_index(spark, idx_dir, n_shards=2)
+    cur = load_index(spark, idx_dir)
+    assert cur["manifest"]["n_docs"] == 300
+    assert cur["manifest"]["history"] == [snap0, "compact-1"]
+    assert load_index(spark, idx_dir, snapshot_id="compact-1")["manifest"][
+        "n_docs"
+    ] == 300
+    # pre-compaction snapshot's postings dir was pruned by compaction
+    with _pytest.raises(IndexCorruptError):
+        load_index(spark, idx_dir, snapshot_id=snap0)["postings"].count()
+    with _pytest.raises(IndexNotFoundError):
+        load_index(spark, idx_dir, snapshot_id="nope")

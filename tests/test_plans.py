@@ -134,3 +134,27 @@ def test_typed_errors(spark, tmp_root):
         dsl_filter(d, {"bogus": {}}, key_col="url")
     assert issubclass(DslError, EngineError)
     assert issubclass(IndexNotFoundError, EngineError)
+
+
+def test_head_term_salting_bounds_merge_groups(spark, index):
+    """The skew guarantee, asserted on data: a head term present in
+    ~every doc must be SPLIT across all shards (doc-range salt), and no
+    (term, shard) merge group may hold more postings than its bucket
+    range can contain — the property that makes a 50%-df term at 10^12
+    docs mergeable in bounded memory."""
+    from ela_lib_spark.functions.xxh import spark_xxhash64
+
+    from tests.conftest import N_SHARDS
+
+    n_docs = index["manifest"]["n_docs"]
+    head = spark_xxhash64("term0000")
+    g = (
+        index["postings"].filter(F.col("term_id") == head)
+        .groupBy("shard").agg(F.sum("n_docs").alias("n"))
+        .collect()
+    )
+    assert len(g) == N_SHARDS, "head term not split across all shards"
+    df_total = sum(r.n for r in g)
+    assert df_total > 0.5 * n_docs, "term0000 should be a head term"
+    bound = 2 * n_docs / N_SHARDS  # bucket ranges are hash-balanced
+    assert all(r.n <= bound for r in g), (g, bound)
