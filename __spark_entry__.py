@@ -94,7 +94,9 @@ def _flat_corpus(spark, sf_dir):
     The serving path must not rebuild the corpus per query (VERDICT r1)."""
     from ela_lib_spark.query.bm25 import doc_lens, flat_postings
 
-    key = (id(spark), sf_dir)
+    # applicationId is unique per SparkContext — id(spark) could be
+    # reused by a later session at the same address
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _FLAT_CACHE:
         d = _docs(spark, sf_dir).select(
             "doc_id", tokenize_col(F.col("text")).alias("tokens")
@@ -140,7 +142,7 @@ def q_bm25_wand(spark, sf_dir):
     from ela_lib_spark.query.wand import wand_topk
 
     _ensure_pkg(spark)
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _WAND_CACHE:
         pages = _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("url"), "text"
@@ -726,7 +728,8 @@ def oracle_sql() -> dict[str, str]:
         "q_text_stats": _text_stats_sql(),
         "q_doc_fingerprint": f"""
             SELECT doc_id,
-                   md5(array_to_string({_TOK_SQL}, chr(31))) AS fp
+                   md5(coalesce(array_to_string({_TOK_SQL}, chr(31)), ''))
+                     AS fp
             FROM documents""",
         "q_topk_per_group": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (

@@ -459,13 +459,20 @@ def main():
             print(f"# rep{rep} calib {lo}c={c_lo:.1f}s {hi}c={c_hi:.1f}s "
                   f"host_ideal_speedup={c_lo / c_hi:.2f} raw_eff={raw_r:.3f} "
                   f"norm_eff={norm_r:.3f}", file=sys.stderr)
+        if not per_rep_eff:  # every rep failed: degrade, don't crash —
+            # the JSON line and BENCH.md must still be emitted (0.0
+            # rather than NaN: the output must stay strict JSON)
+            print("# scaling: all reps failed", file=sys.stderr)
+            times = {lo: [1.0], hi: [1.0]}
+            calibs = {lo: [1.0], hi: [1.0]}
+            per_rep_eff = [0.0]
         t_lo, t_hi = min(times[lo]), min(times[hi])
         raw_eff = (t_lo / t_hi) / (hi / lo)
         # best rep = least-throttled window; capped at 1.0 — a value
         # above 1 only means the host's own parallel delivery collapsed
         # harder than the build's (host_ideal_speedup < 1 observed)
-        best = per_rep_eff.index(max(per_rep_eff))
-        eff = min(1.0, max(per_rep_eff))
+        best = max(range(len(per_rep_eff)), key=lambda i: per_rep_eff[i])
+        eff = min(1.0, per_rep_eff[best])
         result["scaling"] = {
             f"docs_per_sec_{lo}c": round(N_DOCS / t_lo, 1),
             f"docs_per_sec_{hi}c": round(N_DOCS / t_hi, 1),

@@ -99,8 +99,13 @@ def fix_datetime_format_col(col: Column, fmt: str) -> Column:
     """Vectorized twin of fixDatetimeFormatDate (doc_fix.go:86-108) for
     one column. `fmt` is the ES5 custom format, e.g.
     'yyyy-MM-dd HH:mm:ss:S' — section 3 (':'-split) defines the target
-    fractional width."""
-    width = len(fmt.split(":")[3])
+    fractional width. Formats WITHOUT a fractional section (e.g. plain
+    'yyyy-MM-dd HH:mm:ss') have nothing to pad — no-op, mirroring the
+    Go unit which only registers for fraction-bearing formats."""
+    sections = fmt.split(":")
+    if len(sections) < 4:
+        return col
+    width = len(sections[3])
     parts = F.split(col, ":")
     n = F.size(parts)
     frac = F.element_at(parts, 4)

@@ -34,7 +34,7 @@ SPIMI/merge kernels pure int64 numpy — the string-object version was
 3–5× slower and memory-bandwidth-bound. Collision math: P(any
 collision among V terms) ≈ V²/2⁶⁵; V=10⁸ → ~3·10⁻⁴ (one merged pair
 in ~3000 corpora), detectable by building the optional vocab table
-(`vocab_from_docs`) and checking count(distinct term) per term_id.
+(`vocab_from_pages`) and checking count(distinct term) per term_id.
 
 **Doc-id scheme.** doc_id = (bucket << 40) | rank_within_bucket, where
 bucket = pmod(xxhash64(url), n_buckets) and rank is the row_number over
@@ -178,11 +178,11 @@ def doc_stats_from_docs(docs_df: DataFrame) -> DataFrame:
     return docs_df.select("doc_id", "url", "doc_len", "bucket")
 
 
-def vocab_from_docs(docs_df: DataFrame, pages: DataFrame, n_buckets: int,
-                    use_html: bool = False) -> DataFrame:
+def vocab_from_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
     """Optional (term, term_id, df) dictionary — for term listings and
-    hash-collision audits. One explode+groupBy pass; not on the build
-    critical path."""
+    hash-collision audits (count(distinct term) per term_id). One
+    explode+groupBy pass over the raw pages; not on the build critical
+    path."""
     text = extract_text(F.col("html")) if use_html else F.col("text")
     ex = pages.select(
         F.explode(F.array_distinct(tokenize_col(text))).alias("term")
@@ -606,9 +606,11 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
     state whose data dirs still exist (compaction prunes old data;
     the log itself is append-only and tiny)."""
     snap = manifest.get("snapshot_id")
-    hist = list(manifest.get("history", []))
-    if snap and snap not in hist:
-        hist.append(snap)
+    prior = read_manifest(out_dir) or {}
+    hist = list(prior.get("history", []))
+    for s in list(manifest.get("history", [])) + ([snap] if snap else []):
+        if s not in hist:
+            hist.append(s)
     manifest = dict(manifest, history=hist)
     tmp = _manifest_path(out_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -772,13 +774,23 @@ def load_index(spark: SparkSession, out_dir: str,
         )
     try:
         docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+        doc_stats = doc_stats_from_docs(docs)
+        # streamed docs' dictionary rows live beside the bulk docs table
+        # (delta_doc_stats/epoch=N, written by apply_delta_batch) — the
+        # doc-stats surface must cover them too after compaction
+        delta_ds = os.path.join(out_dir, "delta_doc_stats")
+        if os.path.exists(delta_ds):
+            extra = spark.read.option("basePath", delta_ds).parquet(delta_ds)
+            doc_stats = doc_stats.unionByName(
+                extra.select("doc_id", "url", "doc_len", "bucket")
+            )
         out = {
             "manifest": manifest,
             "postings": spark.read.parquet(
                 os.path.join(out_dir, manifest.get("postings_dir", "postings"))
             ),
             "docs": docs,
-            "doc_stats": doc_stats_from_docs(docs),
+            "doc_stats": doc_stats,
             "corpus_stats": spark.read.parquet(
                 os.path.join(out_dir, "corpus_stats")
             ),

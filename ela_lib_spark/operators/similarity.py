@@ -158,15 +158,9 @@ def knn_join_srp(
     from pyspark.sql import Window
 
     planes = srp_planes(dim, n_planes, seed)
-    n_probe_bits = [0]
-    if probe_hamming >= 1:
-        n_probe_bits += [1 << i for i in range(n_planes)]
-    if probe_hamming >= 2:
-        n_probe_bits += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes) for j in range(i + 1, n_planes)
-        ]
-    flips = F.array(*[F.lit(x) for x in n_probe_bits])
+    # flip masks = the hamming ball around 0 (XOR'd per query below)
+    flips = F.array(*[F.lit(x) for x in
+                      _probe_buckets(0, n_planes, probe_hamming)])
     qb = queries.select(
         F.col(q_key), F.col(vec_col).alias("_qv"),
         srp_bucket_col(F.col(vec_col), planes).alias("_qbucket"),

@@ -93,15 +93,16 @@ def list_indexes(root: str) -> list[str]:
 
 
 def resolve_template_index(patterns: list[str], names: list[str]) -> str | None:
-    """Template pattern→index resolution (S18): glob patterns become
-    anchored regexes (`*` → `.*`) and the FIRST existing index matching
-    any pattern seeds the template's settings — mirrors
-    service/task/migrator.go:590-635."""
-    import re
+    """Template pattern→index resolution (S18): the FIRST existing
+    index matching any glob pattern seeds the template's settings —
+    mirrors service/task/migrator.go:590-635. fnmatch handles glob
+    semantics properly (a naive '*'→'.*' regex rewrite mis-matches
+    names containing '.', and crashes on '[' — same matcher
+    filter_tables uses)."""
+    import fnmatch
 
-    rx = [re.compile("^" + p.replace("*", ".*") + "$") for p in patterns]
     for name in names:
-        for r in rx:
-            if r.match(name):
+        for p in patterns:
+            if fnmatch.fnmatchcase(name, p):
                 return name
     return None

@@ -50,16 +50,27 @@ def match_rule(uri: str, pattern: str) -> tuple[dict[str, str], bool]:
     p_lo, p_hi = 0, len(pat) - 1
     variables: dict[str, str] = {}
 
+    def bind(p_seg: str, u_seg: str) -> bool:
+        """${var} segments bind; literal segments must EQUAL the URI
+        segment (a literal pattern like /_cat/indices must not swallow
+        arbitrary URIs)."""
+        if p_seg.startswith("${"):
+            variables[_strip_var(p_seg)] = u_seg
+            return True
+        return p_seg.rstrip("?") == u_seg
+
     changed = True
     while u_lo <= u_hi and p_lo <= p_hi and changed:
         changed = False
         if not pat[p_lo].endswith("?"):
-            variables[pat[p_lo].strip("${}")] = us[u_lo]
+            if not bind(pat[p_lo], us[u_lo]):
+                return {}, False
             u_lo += 1
             p_lo += 1
             changed = True
         if u_lo <= u_hi and p_lo <= p_hi and not pat[p_hi].endswith("?"):
-            variables[pat[p_hi].strip("${}")] = us[u_hi]
+            if not bind(pat[p_hi], us[u_hi]):
+                return {}, False
             u_hi -= 1
             p_hi -= 1
             changed = True
@@ -67,9 +78,7 @@ def match_rule(uri: str, pattern: str) -> tuple[dict[str, str], bool]:
     while p_lo <= p_hi:
         if not pat[p_lo].endswith("?"):
             return {}, False
-        var = _strip_var(pat[p_lo])
-        if u_lo <= u_hi:
-            variables[var] = us[u_lo]
+        if u_lo <= u_hi and bind(pat[p_lo], us[u_lo]):
             u_lo += 1
         p_lo += 1
 

@@ -141,9 +141,45 @@ def compact_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dic
     merged.write.mode("overwrite").parquet(
         os.path.join(index_dir, new_postings_name)
     )
-    # fold delta chunks into the base chunk set for future compactions
-    chunks.write.mode("overwrite").parquet(
+    # fold delta chunks into the base chunk set for future compactions —
+    # keeping the is_m metrics-sidecar partitioning, or every later
+    # resume/ledger scan degrades to reading all posting bytes
+    chunks.write.mode("overwrite").partitionBy("is_m").parquet(
         os.path.join(index_dir, new_chunks_name)
+    )
+
+    # refresh the control tables the manifest's n_docs/avg_dl describe
+    # (corpus_stats + per-bucket ledger) — load_index must never return
+    # datasets that contradict the manifest after a compaction
+    from ela_lib_spark.index.build import _write_small_parquet
+
+    ledger_rows = (
+        metrics.groupBy("part_id")
+        .agg(
+            F2.sum("n_docs").cast("long").alias("n_docs"),
+            F2.sum("first_doc_id").cast("long").alias("n_tokens"),
+            (F2.max("shard") / 1000.0).alias("secs"),
+        )
+        .collect()
+    )
+    snapshot = f"compact-{gen}"
+    _write_small_parquet(
+        os.path.join(index_dir, "ledger"),
+        {
+            "part_id": [int(r.part_id) for r in ledger_rows],
+            "status": ["done"] * len(ledger_rows),
+            "n_docs": [int(r.n_docs) for r in ledger_rows],
+            "n_tokens": [int(r.n_tokens) for r in ledger_rows],
+            "secs": [float(r.secs) for r in ledger_rows],
+            "snapshot_id": [snapshot] * len(ledger_rows),
+        },
+        "part_id int32, status string, n_docs int64, n_tokens int64, "
+        "secs double, snapshot_id string",
+    )
+    _write_small_parquet(
+        os.path.join(index_dir, "corpus_stats"),
+        {"n_docs": [int(n_docs)], "avg_dl": [float(avg_dl)]},
+        "n_docs int64, avg_dl double",
     )
 
     # single atomic commit point: the manifest pointer flip

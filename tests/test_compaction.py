@@ -95,3 +95,25 @@ def test_snapshot_log_and_time_travel(spark, tmp_root):
         load_index(spark, idx_dir, snapshot_id=snap0)["postings"].count()
     with _pytest.raises(IndexNotFoundError):
         load_index(spark, idx_dir, snapshot_id="nope")
+
+
+def test_compaction_refreshes_control_tables(spark, tmp_root):
+    """Review r2: after compaction, corpus_stats / ledger / doc_stats
+    must agree with the manifest (not describe the pre-compaction
+    corpus), and the folded chunks must keep the is_m sidecar
+    partitioning so resume/ledger scans stay partition-pruned."""
+    idx_dir = os.path.join(tmp_root, "ctrl_idx")
+    pages = synth_pages_df(spark, 300).cache()
+    build_index(spark, pages.limit(200), idx_dir, n_buckets=4, n_shards=2)
+    apply_delta_batch(pages.subtract(pages.limit(200)), 0, idx_dir, n_buckets=4)
+    compact_index(spark, idx_dir, n_shards=2)
+
+    idx = load_index(spark, idx_dir)
+    assert idx["manifest"]["n_docs"] == 300
+    cs = idx["corpus_stats"].first()
+    assert cs.n_docs == 300
+    assert sum(r.n_docs for r in idx["ledger"].collect()) == 300
+    assert idx["doc_stats"].count() == 300
+    assert idx["doc_stats"].select("doc_id").distinct().count() == 300
+    chunks_dir = os.path.join(idx_dir, idx["manifest"]["chunks_dir"])
+    assert os.path.isdir(os.path.join(chunks_dir, "is_m=1"))

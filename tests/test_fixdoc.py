@@ -65,3 +65,17 @@ def test_version_range():
     assert not r.check("4.9") and not r.check(None)
     assert VersionRange(">= 6.0").check("7.10.2")
     assert len(FIX_UNITS) == 1 and FIX_UNITS[0].name == "fix_datetime_format_date"
+
+
+def test_fraction_less_format_is_noop(spark):
+    """Review r2: a format without a fractional section (plain
+    'yyyy-MM-dd HH:mm:ss') must no-op instead of raising at plan time."""
+    from pyspark.sql import functions as F
+
+    from ela_lib_spark.functions.fixdoc import fix_datetime_format_col
+
+    df = spark.createDataFrame([("2024-01-02 03:04:05",)], "ts string")
+    out = df.select(
+        fix_datetime_format_col(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts")
+    ).first()
+    assert out.ts == "2024-01-02 03:04:05"

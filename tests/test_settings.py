@@ -111,3 +111,12 @@ def test_create_table_like_stamps_schema(tmp_root, spark):
     out = spark.read.parquet(path)
     assert out.schema == src.schema
     assert out.count() == 0
+
+
+def test_resolve_template_glob_semantics():
+    """Review r2: glob matching must not treat '.' as a regex wildcard
+    and must not crash on '['."""
+    names = ["logsXv1-2024", "logs.v1-2024", "a[b"]
+    assert resolve_template_index(["logs.v1*"], names) == "logs.v1-2024"
+    assert resolve_template_index(["logs.v1*"], ["logsXv1-2024"]) is None
+    assert resolve_template_index(["a[b"], names) == "a[b"  # no re.error

@@ -53,3 +53,15 @@ def test_route_dispatch():
 def test_extra_uri_segments_fail():
     _, ok = match_rule("/a/b/c/_search", "/${index}?/${docType}?/_search")
     assert not ok
+
+
+def test_literal_segments_require_equality():
+    """Review r2: literal (non-${var}) pattern segments must EQUAL the
+    URI segment — '/_cat/indices' must not swallow arbitrary URIs."""
+    from ela_lib_spark.plans.uri import match_rule, route
+
+    assert match_rule("/_cat/indices", "/_cat/indices") == ({}, True)
+    assert match_rule("/myindex/mytype", "/_cat/indices")[1] is False
+    pattern, variables = route("GET", "/_cat/indices")
+    assert pattern == "/_cat/indices" and variables == {}
+    assert route("GET", "/myindex/mytype") == (None, {})
