@@ -76,7 +76,22 @@ def main(argv=None, spark=None):
     ct.add_argument("out")
     ct.add_argument("patterns", nargs="+")
 
+    h = sub.add_parser("history", help="list the index's snapshot log")
+    h.add_argument("index_dir")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "history":  # pure metadata — no session needed
+        from ela_lib_spark.index.build import read_manifest
+
+        m = read_manifest(args.index_dir) or {}
+        print(json.dumps({
+            "current": m.get("snapshot_id"),
+            "history": m.get("history", []),
+            "n_docs": m.get("n_docs"),
+            "postings_dir": m.get("postings_dir"),
+        }))
+        return 0
 
     owns_session = spark is None
     if owns_session:

@@ -142,6 +142,10 @@ def test_cli_end_to_end(spark, tmp_root, capsys):
     sd = os.path.join(tmp_root, "cli_sd")
     assert main(["sync_diff", pages, imp, sd, "--key", "url"], spark=spark) == 0
 
+    assert main(["history", idx], spark=spark) == 0
+    hist = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hist["current"] and hist["history"] == [hist["current"]]
+
     tpl = os.path.join(tmp_root, "cli_tpl")
     assert main(["create_template", wh, tpl, "pages_*"], spark=spark) == 0
     t = spark.read.parquet(tpl)
