@@ -595,16 +595,29 @@ def read_manifest(out_dir: str) -> dict | None:
         return json.load(f)
 
 
+def new_snapshot_id(prefix: str) -> str:
+    """Globally unique snapshot id: wall-clock millis + random suffix.
+    time.monotonic() (the r2 scheme) has a boot-relative epoch, so two
+    builds into the same out_dir from different processes (or within
+    one second) could collide and silently merge history entries."""
+    import uuid
+
+    return f"{prefix}-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+
+
 def write_manifest(out_dir: str, manifest: dict) -> None:
     """Atomic manifest flip (os.replace) — THE single commit point for
     index publishes: data dirs are written to versioned names first,
     then the manifest pointer switches readers over.
 
     Snapshot log (Iceberg metadata-log analog): every committed
-    manifest is also archived under snapshots/<snapshot_id>.json, so
-    `load_index(snapshot_id=...)` can time-travel to any published
-    state whose data dirs still exist (compaction prunes old data;
-    the log itself is append-only and tiny)."""
+    manifest is also archived under snapshots/<snapshot_id>.json —
+    refusing to overwrite an existing snapshot file (ids must be
+    unique; see new_snapshot_id) — so `load_index(snapshot_id=...)`
+    can time-travel to any published state whose data dirs still
+    exist (compaction prunes old data; the log itself is append-only
+    and tiny). The snapshot archive also captures the ledger sidecar
+    (tiny) so time-traveled reads see snapshot-consistent lineage."""
     snap = manifest.get("snapshot_id")
     prior = read_manifest(out_dir) or {}
     hist = list(prior.get("history", []))
@@ -618,8 +631,22 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
     if snap:
         sdir = os.path.join(out_dir, "snapshots")
         os.makedirs(sdir, exist_ok=True)
-        with open(os.path.join(sdir, f"{snap}.json"), "w") as f:
+        spath = os.path.join(sdir, f"{snap}.json")
+        if os.path.exists(spath):
+            raise ValueError(
+                f"snapshot id {snap!r} already archived in {sdir!r} — "
+                "snapshot ids must be unique (use new_snapshot_id)"
+            )
+        with open(spath, "w") as f:
             json.dump(manifest, f, indent=1)
+        ledger_dir = os.path.join(out_dir, "ledger")
+        if os.path.exists(ledger_dir):
+            import shutil
+
+            shutil.copytree(
+                ledger_dir, os.path.join(sdir, f"{snap}-ledger"),
+                dirs_exist_ok=True,
+            )
     os.replace(tmp, _manifest_path(out_dir))
 
 
@@ -657,7 +684,8 @@ def build_index(
     t_start = time.monotonic()
     stage_secs: dict[str, float] = {}
     done: set[int] = done_buckets(spark, out_dir) if resume else set()
-    par = spark.sparkContext.defaultParallelism
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
     if docs_partitions is None:
         docs_partitions = max(3 * par, 48)
 
@@ -665,6 +693,7 @@ def build_index(
     # (bucket, url)-deterministic; _SUCCESS guards a crashed write)
     docs_dir = os.path.join(out_dir, "docs")
     _t = time.monotonic()
+    sc.setJobDescription("build:docs")
     if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
         docs_with_term_ids(
             pages, n_buckets, use_html, num_partitions=docs_partitions
@@ -677,8 +706,29 @@ def build_index(
     # ledger/resume scans read via partition pruning.
     ch_dir = chunks_path(out_dir)
     _t = time.monotonic()
+    sc.setJobDescription("build:chunks")
     chunks_out = chunks_from_docs(docs, skip_buckets=done or None)
-    mode = "append" if (resume and os.path.exists(ch_dir)) else "overwrite"
+    if resume and os.path.exists(ch_dir):
+        # layout guard: a chunks dir from the pre-sidecar layout (flat,
+        # no is_m= partition dirs) cannot take a partitionBy append —
+        # Spark's partition discovery rejects the mixed layout on the
+        # next read. Refuse with a clear error instead of corrupting.
+        has_partition_dirs = any(
+            e.startswith("is_m=") for e in os.listdir(ch_dir)
+            if os.path.isdir(os.path.join(ch_dir, e))
+        )
+        if not has_partition_dirs:
+            from ela_lib_spark.errors import IndexCorruptError
+
+            raise IndexCorruptError(
+                f"chunks dir {ch_dir!r} uses the legacy flat layout "
+                "(layout_version < 2, no is_m= partitions); resume onto "
+                "it would produce a mixed layout Spark cannot read. "
+                "Rebuild without resume=True, or migrate the directory."
+            )
+        mode = "append"
+    else:
+        mode = "overwrite"
     chunks_out.write.mode(mode).partitionBy("is_m").parquet(ch_dir)
     stage_secs["chunks"] = round(time.monotonic() - _t, 2)
     chunks = spark.read.parquet(ch_dir)
@@ -687,6 +737,7 @@ def build_index(
     # partition-pruned scan; the (tiny) ledger/corpus_stats tables are
     # then written driver-side with pyarrow — no extra Spark jobs.
     _t = time.monotonic()
+    sc.setJobDescription("build:ledger")
     ledger_rows = (
         chunks.filter((F.col("is_m") == 1) & (F.col("term_id") == METRICS_TERM_ID))
         .groupBy("part_id")
@@ -697,7 +748,7 @@ def build_index(
         )
         .collect()
     )
-    snapshot = f"build-{int(t_start)}"
+    snapshot = new_snapshot_id("build")
     _write_small_parquet(
         os.path.join(out_dir, "ledger"),
         {
@@ -726,10 +777,12 @@ def build_index(
     # row-group min/max stats prune the query path's term_id filter
     # without an extra repartition shuffle.
     _t = time.monotonic()
+    sc.setJobDescription("build:merge")
     merged = merge_chunks(chunks, float(avg_dl), n_shards, n_buckets, codec,
                           merge_partitions)
     merged.write.mode("overwrite").parquet(os.path.join(out_dir, "postings"))
     stage_secs["merge"] = round(time.monotonic() - _t, 2)
+    sc.setJobDescription(None)
 
     manifest = {
         "layout_version": 2,
@@ -738,6 +791,7 @@ def build_index(
         "n_shards": n_shards,
         "n_docs": int(n_docs),
         "avg_dl": float(avg_dl),
+        "avg_dl_at_merge": float(avg_dl),
         "block_size": BLOCK_SIZE,
         "bm25": {"k1": BM25_K1, "b": BM25_B},
         "build_secs": time.monotonic() - t_start,
@@ -755,7 +809,21 @@ def load_index(spark: SparkSession, out_dir: str,
                snapshot_id: str | None = None) -> dict:
     """Open a published index. `snapshot_id` time-travels to an
     archived snapshot manifest (snapshots/<id>.json) — readable as
-    long as compaction hasn't pruned the data dirs it references."""
+    long as compaction hasn't pruned the data dirs it references.
+
+    Snapshot consistency: a time-traveled load returns `corpus_stats`
+    SYNTHESIZED from the snapshot manifest (n_docs/avg_dl as written
+    at publish time) and the `ledger` archived beside the snapshot —
+    never the live tables, which later compactions overwrite. The
+    `docs`/`doc_stats` surface is the live doc dictionary (doc rows
+    are append-only between full rebuilds, so snapshot doc ids all
+    resolve; rows added after the snapshot may also be present).
+
+    With tiered delta compaction (streaming/incremental.py) the
+    manifest may carry `tier_postings`: extra postings directories
+    merged from delta segments. `postings` is the union; tier rows
+    may carry per-tier df values — query paths recompute global df
+    per term when `manifest['tiers']` is present (query/wand.py)."""
     from ela_lib_spark.errors import IndexCorruptError, IndexNotFoundError
 
     if snapshot_id is not None:
@@ -784,17 +852,37 @@ def load_index(spark: SparkSession, out_dir: str,
             doc_stats = doc_stats.unionByName(
                 extra.select("doc_id", "url", "doc_len", "bucket")
             )
+        postings = spark.read.parquet(
+            os.path.join(out_dir, manifest.get("postings_dir", "postings"))
+        )
+        for tier in manifest.get("tiers", []):
+            postings = postings.unionByName(
+                spark.read.parquet(os.path.join(out_dir, tier["postings_dir"]))
+            )
+        if snapshot_id is not None:
+            corpus_stats = spark.createDataFrame(
+                [(int(manifest["n_docs"]), float(manifest["avg_dl"]))],
+                "n_docs long, avg_dl double",
+            )
+            snap_ledger = os.path.join(
+                out_dir, "snapshots", f"{snapshot_id}-ledger"
+            )
+            ledger = spark.read.parquet(
+                snap_ledger if os.path.exists(snap_ledger)
+                else os.path.join(out_dir, "ledger")
+            )
+        else:
+            corpus_stats = spark.read.parquet(
+                os.path.join(out_dir, "corpus_stats")
+            )
+            ledger = spark.read.parquet(os.path.join(out_dir, "ledger"))
         out = {
             "manifest": manifest,
-            "postings": spark.read.parquet(
-                os.path.join(out_dir, manifest.get("postings_dir", "postings"))
-            ),
+            "postings": postings,
             "docs": docs,
             "doc_stats": doc_stats,
-            "corpus_stats": spark.read.parquet(
-                os.path.join(out_dir, "corpus_stats")
-            ),
-            "ledger": spark.read.parquet(os.path.join(out_dir, "ledger")),
+            "corpus_stats": corpus_stats,
+            "ledger": ledger,
         }
     except Exception as e:  # manifest points at missing/unreadable data
         raise IndexCorruptError(

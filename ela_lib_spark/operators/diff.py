@@ -30,8 +30,20 @@ DIFF_CLASSES = ("same", "update", "create", "delete")
 
 def content_hash(df: DataFrame, key: str, cols: list[str] | None = None) -> Column:
     """Canonical row fingerprint over all non-key columns (sorted order
-    pins the serialization, mirroring Go's sorted-key json.Marshal)."""
-    cols = cols or sorted(c for c in df.columns if c != key)
+    pins the serialization, mirroring Go's sorted-key json.Marshal).
+
+    `cols=None` means "all non-key columns"; an explicit empty list is
+    an error — hashing zero columns would silently fall back to each
+    side's own full column set, breaking the F5 intersection contract."""
+    if cols is not None and not cols:
+        from ela_lib_spark.errors import SettingsError
+
+        raise SettingsError(
+            "content_hash: empty compare-column list — source and target "
+            "schemas share no identically-typed non-key columns"
+        )
+    if cols is None:
+        cols = sorted(c for c in df.columns if c != key)
     return F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
 

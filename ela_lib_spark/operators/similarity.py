@@ -194,10 +194,16 @@ def ivf_train_centroids(
     df: DataFrame, dim: int, n_lists: int = 16,
     key: str = "vec_id", vec_col: str = "embedding",
     sample_n: int = 100_000, iters: int = 10,
+    sample_bytes: int = 256 << 20,
 ) -> np.ndarray:
     """Deterministic driver-side Lloyd k-means for the IVF coarse
     quantizer (the classic IVF recipe: train on a bounded sample —
     ~256×n_lists vectors suffice — never on the full corpus).
+
+    The sample is capped by BYTES, not just rows: at dim=768 a 100k-row
+    sample is ~600 MB of float64 on the driver; `sample_bytes` (default
+    256 MB) shrinks the row cap to sample_bytes/(8·dim), floored at
+    32×n_lists so the quantizer still trains.
 
     Determinism: the sample is the `sample_n` smallest keys
     (TakeOrdered — a distributed top-k, not a full sort), init is the
@@ -205,6 +211,8 @@ def ivf_train_centroids(
     emptied cluster keeps its previous centroid. No RNG → the same
     centroids at any parallelism, which resume and the pinned oracle
     both rely on."""
+    rows_by_bytes = max(32 * n_lists, sample_bytes // (8 * dim))
+    sample_n = min(sample_n, int(rows_by_bytes))
     rows = (
         df.select(key, vec_col).orderBy(key).limit(sample_n).collect()
     )

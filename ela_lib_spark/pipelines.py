@@ -54,16 +54,19 @@ def prepare_training_corpus(
     docs = docs.withColumn("_q", quality_score(F.col("text"))).filter(
         F.col("_q") >= min_quality
     ).persist()
-    stats["after_lang_quality"] = docs.count()
+    try:
+        stats["after_lang_quality"] = docs.count()
 
-    docs = dedup_exact(docs, key=key, text_col="text")
-    stats["after_exact_dedup"] = docs.count()
+        deduped = dedup_exact(docs, key=key, text_col="text")
+        stats["after_exact_dedup"] = deduped.count()
 
-    docs = dedup_minhash_lsh(
-        docs, key=key, text_col="text", threshold=near_dup_threshold
-    )
-    cleaned = docs.drop("_lang", "_q")
-    cleaned.write.mode("overwrite").parquet(out_path)
+        deduped = dedup_minhash_lsh(
+            deduped, key=key, text_col="text", threshold=near_dup_threshold
+        )
+        cleaned = deduped.drop("_lang", "_q")
+        cleaned.write.mode("overwrite").parquet(out_path)
+    finally:
+        docs.unpersist()
     out = spark.read.parquet(out_path)
     stats["after_near_dedup"] = out.count()
     stats["removed_total"] = stats["input"] - stats["after_near_dedup"]

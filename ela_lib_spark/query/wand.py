@@ -46,10 +46,18 @@ def _compact(ids: np.ndarray, scores: np.ndarray, k: int):
     return ids[order], scores[order]
 
 
-def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int, avg_dl: float, codec: str):
+def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
+                   avg_dl: float, codec: str, ub_scale: float = 1.0):
     # Postings are keyed by term_id = xxhash64(term); iteration stays in
     # lexicographic *string* order — rank-identity with the brute oracle
     # depends on the float accumulation order.
+    #
+    # ub_scale ≥ 1 keeps block-max pruning SOUND on tiered indexes:
+    # stored block_max_impact was computed with each tier's merge-time
+    # avg_dl; if the live avg_dl has since grown, per-posting impact
+    # grows by at most avg_now/avg_merge (monotone bound — see
+    # streaming/incremental.compact_index docstring), so scaling the
+    # upper bound by that ratio can never prune a qualifying segment.
     terms_sorted = [spark_xxhash64(t) for t in sorted(set(terms))]
     nt = len(terms_sorted)
     is_and = mode.upper() == "AND"
@@ -70,7 +78,8 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int, avg_dl: flo
                 "idf": idf_t,
                 "first": g["first_doc_id"].to_numpy(np.int64),
                 "last": g["last_doc_id"].to_numpy(np.int64),
-                "ub": idf_t * (BM25_K1 + 1.0) * g["block_max_impact"].to_numpy(),
+                "ub": idf_t * (BM25_K1 + 1.0) * ub_scale
+                * g["block_max_impact"].to_numpy(),
                 "rows": g,
                 "decoded": {},
             }
@@ -188,14 +197,37 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> D
     window — so no contributing block is ever removed. For head∧rare
     queries this prunes the head term's block shuffle down to the rare
     term's doc neighborhood (block-max skipping saves decode CPU;
-    this saves shuffle IO — the r1 judge note)."""
+    this saves shuffle IO — the r1 judge note).
+
+    Tiered indexes (manifest['tiers'] non-empty): per-tier stored df
+    values are partial, so the global df per term is recomputed over
+    the term-filtered rows (an in-plan broadcast join over the pruned
+    scan — never a full postings pass), and block-max upper bounds are
+    scaled by max(1, avg_dl_now/min merge-time avg_dl) to stay sound.
+    Single-tier indexes keep the zero-extra-work fast path."""
     m = index["manifest"]
     ids = [spark_xxhash64(t) for t in sorted(set(terms))]
     q = index["postings"].filter(F.col("term_id").isin(ids))
+    tiers = m.get("tiers") or []
+    ub_scale = 1.0
+    if tiers:
+        df_tbl = q.groupBy("term_id").agg(
+            F.sum("n_docs").cast("long").alias("_df_global")
+        )
+        q = (
+            q.drop("df")
+            .join(F.broadcast(df_tbl), "term_id")
+            .withColumnRenamed("_df_global", "df")
+        )
+        merge_avgs = [float(m.get("avg_dl_at_merge", m["avg_dl"]))] + [
+            float(t["avg_dl"]) for t in tiers
+        ]
+        ub_scale = max(1.0, float(m["avg_dl"]) / min(merge_avgs))
     if mode.upper() == "AND" and len(ids) > 1:
         q = and_block_prefilter(q, len(ids))
     shard_tops = q.groupBy("shard").applyInPandas(
-        _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"]),
+        _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"],
+                       ub_scale),
         schema=RESULT_SCHEMA,
     )
     return shard_tops.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

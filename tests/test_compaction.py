@@ -1,5 +1,7 @@
-"""Compaction: base index + streamed delta epochs → one merged index
-that answers queries rank-identically over the combined corpus."""
+"""Tiered compaction: base index + streamed delta epochs → tier
+postings (minor, O(delta) IO — base files byte-identical) and a
+periodic major merge; queries stay rank-identical over the combined
+corpus at every step."""
 
 import os
 
@@ -15,8 +17,35 @@ from ela_lib_spark.streaming.incremental import (
     compact_index,
 )
 
+QUERIES = (
+    (["term0000"], "OR"),
+    (["term0002", "term0045"], "AND"),
+    (["term0005", "term0417"], "OR"),
+)
 
-def test_compaction_rank_identity(spark, tmp_root):
+
+def _file_stats(root):
+    """{relpath: (size, mtime_ns)} over every data file under root."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _check_rank_identity(idx, toks):
+    m = idx["manifest"]
+    for terms, mode in QUERIES:
+        want = brute_topk(toks, terms, mode, k=10, n_docs=m["n_docs"],
+                          avg_dl=m["avg_dl"])
+        got = [(r.doc_id, r.score)
+               for r in wand_topk(idx, terms, mode, k=10).collect()]
+        assert got == want, (terms, mode)
+
+
+def test_compaction_rank_identity_and_base_untouched(spark, tmp_root):
     idx_dir = os.path.join(tmp_root, "compact_idx")
     all_pages = synth_pages_df(spark, 600).cache()
     # deterministic split: base / two delta micro-batches
@@ -30,12 +59,23 @@ def test_compaction_rank_identity(spark, tmp_root):
     build_index(spark, base, idx_dir, n_buckets=4, n_shards=2, use_html=True)
     apply_delta_batch(batch0, 0, idx_dir, n_buckets=4)
     apply_delta_batch(batch1, 1, idx_dir, n_buckets=4)
+
+    # VERDICT r2 #2: minor compaction must not rewrite the base — pin
+    # every base chunk AND base postings file (size + mtime) first
+    base_chunks_before = _file_stats(os.path.join(idx_dir, "chunks"))
+    base_postings_before = _file_stats(os.path.join(idx_dir, "postings"))
+
     res = compact_index(spark, idx_dir, n_shards=2)
+    assert res["mode"] == "minor"
     assert res["compacted_epochs"] == 2
     assert res["n_docs"] == 600
 
+    assert _file_stats(os.path.join(idx_dir, "chunks")) == base_chunks_before
+    assert _file_stats(os.path.join(idx_dir, "postings")) == base_postings_before
+
     idx = load_index(spark, idx_dir)
     assert idx["manifest"]["n_docs"] == 600
+    assert len(idx["manifest"]["tiers"]) == 1
 
     # ground truth over the COMBINED corpus with the ids the engine used
     toks = {
@@ -54,21 +94,34 @@ def test_compaction_rank_identity(spark, tmp_root):
             toks[r.doc_id] = list(r.tokens)
     assert len(toks) == 600
 
-    m = idx["manifest"]
-    for terms, mode in ([["term0000"], "OR"], [["term0002", "term0045"], "AND"],
-                        [["term0005", "term0417"], "OR"]):
-        want = brute_topk(toks, terms, mode, k=10, n_docs=m["n_docs"],
-                          avg_dl=m["avg_dl"])
-        got = [(r.doc_id, r.score)
-               for r in wand_topk(idx, terms, mode, k=10).collect()]
-        assert got == want, (terms, mode)
+    _check_rank_identity(idx, toks)
+
+    # a second minor compact with no new epochs is a no-op
+    res2 = compact_index(spark, idx_dir, n_shards=2)
+    assert res2 == {"compacted_epochs": 0, "mode": "minor"}
+
+    # major compaction folds base + tiers into ONE postings dir and
+    # stays rank-identical; the chunk store is still untouched
+    chunks_before_major = _file_stats(os.path.join(idx_dir, "chunks"))
+    res3 = compact_index(spark, idx_dir, n_shards=2, mode="major")
+    assert res3["mode"] == "major"
+    assert res3["n_docs"] == 600
+    assert _file_stats(os.path.join(idx_dir, "chunks")) == chunks_before_major
+
+    idx2 = load_index(spark, idx_dir)
+    assert idx2["manifest"]["tiers"] == []
+    assert idx2["manifest"]["n_docs"] == 600
+    assert not os.path.exists(os.path.join(idx_dir, "postings"))  # pruned
+    _check_rank_identity(idx2, toks)
 
 
 def test_snapshot_log_and_time_travel(spark, tmp_root):
     """Every publish archives its manifest under snapshots/ (Iceberg
-    metadata-log analog): time-travel loads work while the referenced
-    data dirs exist; after compaction prunes them, loading the stale
-    snapshot raises the typed corruption error."""
+    metadata-log analog). Minor compaction preserves old snapshots'
+    readability (base postings survive); a major compaction prunes the
+    superseded postings dirs, after which loading the stale snapshot
+    raises the typed corruption error. Time-traveled loads return
+    snapshot-consistent corpus_stats/ledger (ADVICE r2)."""
     import pytest as _pytest
 
     from ela_lib_spark.errors import IndexCorruptError, IndexNotFoundError
@@ -83,16 +136,33 @@ def test_snapshot_log_and_time_travel(spark, tmp_root):
     assert via_snap["manifest"]["n_docs"] == 200
 
     apply_delta_batch(pages.subtract(pages.limit(200)), 0, idx_dir, n_buckets=4)
-    compact_index(spark, idx_dir, n_shards=2)
+    compact_index(spark, idx_dir, n_shards=2)  # minor → tier
     cur = load_index(spark, idx_dir)
+    snap1 = cur["manifest"]["snapshot_id"]
     assert cur["manifest"]["n_docs"] == 300
-    assert cur["manifest"]["history"] == [snap0, "compact-1"]
-    assert load_index(spark, idx_dir, snapshot_id="compact-1")["manifest"][
+    assert cur["manifest"]["history"] == [snap0, snap1]
+    assert load_index(spark, idx_dir, snapshot_id=snap1)["manifest"][
         "n_docs"
     ] == 300
-    # pre-compaction snapshot's postings dir was pruned by compaction
+
+    # time travel to the PRE-compaction snapshot still works after a
+    # minor compact (nothing pruned), and its corpus_stats/ledger are
+    # the snapshot's own, not the live (post-compaction) tables
+    old = load_index(spark, idx_dir, snapshot_id=snap0)
+    assert old["manifest"]["n_docs"] == 200
+    assert old["postings"].count() > 0
+    cs = old["corpus_stats"].first()
+    assert cs.n_docs == 200
+    assert abs(cs.avg_dl - old["manifest"]["avg_dl"]) < 1e-9
+    assert sum(r.n_docs for r in old["ledger"].collect()) == 200
+    # live tables meanwhile describe the compacted corpus
+    assert load_index(spark, idx_dir)["corpus_stats"].first().n_docs == 300
+
+    # major compaction prunes the old base postings dir → stale
+    # snapshot now raises the typed corruption error
+    compact_index(spark, idx_dir, n_shards=2, mode="major")
     with _pytest.raises(IndexCorruptError):
-        load_index(spark, idx_dir, snapshot_id=snap0)["postings"].count()
+        load_index(spark, idx_dir, snapshot_id=snap0)
     with _pytest.raises(IndexNotFoundError):
         load_index(spark, idx_dir, snapshot_id="nope")
 
@@ -100,7 +170,7 @@ def test_snapshot_log_and_time_travel(spark, tmp_root):
 def test_compaction_refreshes_control_tables(spark, tmp_root):
     """Review r2: after compaction, corpus_stats / ledger / doc_stats
     must agree with the manifest (not describe the pre-compaction
-    corpus), and the folded chunks must keep the is_m sidecar
+    corpus), and the chunk store must keep the is_m sidecar
     partitioning so resume/ledger scans stay partition-pruned."""
     idx_dir = os.path.join(tmp_root, "ctrl_idx")
     pages = synth_pages_df(spark, 300).cache()

@@ -422,3 +422,19 @@ def test_export_num_files(spark, docs, tmp_root):
     assert len(man["files"]) == 3
     back, _ = import_index(spark, d)
     assert back.count() == 7
+
+
+def test_classify_diff_empty_intersection_raises(spark):
+    """ADVICE r2: an empty comparable-column intersection must raise,
+    not silently hash each side's own full column set."""
+    import pytest
+
+    from ela_lib_spark.errors import SettingsError
+    from ela_lib_spark.operators.diff import classify_diff, content_hash
+
+    src = spark.createDataFrame([(1, "a")], "k long, only_src string")
+    tgt = spark.createDataFrame([(1, 2.0)], "k long, only_tgt double")
+    with pytest.raises(SettingsError, match="no identically-typed"):
+        classify_diff(src, tgt, key="k").collect()
+    with pytest.raises(SettingsError):
+        content_hash(src, "k", cols=[])

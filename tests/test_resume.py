@@ -72,3 +72,52 @@ def test_resume_after_partial_build_without_ledger(spark, tmp_root):
     truth = {r.bucket: r.cnt for r in
              resumed["doc_stats"].groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
     assert per_bucket == truth
+
+
+def test_resume_refuses_legacy_flat_chunks_layout(spark, tmp_root):
+    """ADVICE r2: resuming onto a pre-sidecar (flat, no is_m= dirs)
+    chunks directory would create a mixed layout Spark's partition
+    discovery rejects — the build must refuse with a typed error."""
+    import shutil
+
+    import pytest
+
+    from ela_lib_spark.errors import IndexCorruptError
+    from ela_lib_spark.sources.synth import write_web_pages
+
+    p = os.path.join(tmp_root, "pages_legacy")
+    write_web_pages(spark, 120, p, num_partitions=2)
+    pages = spark.read.parquet(p)
+    idx = os.path.join(tmp_root, "idx_legacy")
+    build_index(spark, pages, idx, n_buckets=4, n_shards=2, use_html=True)
+
+    # flatten chunks/ to the legacy layout: hoist files out of is_m=*
+    ch = os.path.join(idx, "chunks")
+    for sub in list(os.listdir(ch)):
+        full = os.path.join(ch, sub)
+        if sub.startswith("is_m=") and os.path.isdir(full):
+            for fn in os.listdir(full):
+                shutil.move(os.path.join(full, fn), os.path.join(ch, fn))
+            os.rmdir(full)
+
+    with pytest.raises(IndexCorruptError, match="legacy flat layout"):
+        build_index(spark, pages, idx, n_buckets=4, n_shards=2,
+                    use_html=True, resume=True)
+
+
+def test_snapshot_ids_unique_and_protected(spark, tmp_root):
+    """ADVICE r2: snapshot ids must be collision-free (wall-clock +
+    random suffix, not boot-relative monotonic), and the snapshot
+    archive refuses overwrites."""
+    import pytest
+
+    from ela_lib_spark.index.build import new_snapshot_id, write_manifest
+
+    ids = {new_snapshot_id("build") for _ in range(100)}
+    assert len(ids) == 100
+
+    d = os.path.join(tmp_root, "snap_guard")
+    os.makedirs(d, exist_ok=True)
+    write_manifest(d, {"snapshot_id": "s-1", "n_docs": 1})
+    with pytest.raises(ValueError, match="already archived"):
+        write_manifest(d, {"snapshot_id": "s-1", "n_docs": 2})
