@@ -498,14 +498,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_detect": q_lang_detect,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_text_stats": q_text_stats,
-        # rows-only (non-SQL-expressible kernels; each pinned by an
-        # independent pure-Python oracle in tests/test_pinned_oracles.py)
-        "q_minhash_dedup": q_minhash_dedup,
-        "q_simhash_pairs": q_simhash_pairs,
+        # DuckDB-gated since r3: SRP bucket assignment re-expressed in
+        # SQL with the shared deterministic plane constants
         "q_ann_srp": q_ann_srp,
-        "q_image_features": q_image_features,
         "q_embed_near_dup": q_embed_near_dup,
         "q_knn_join": q_knn_join,
+        "q_image_features": q_image_features,
+        # rows-only (xxhash64/k-means kernels DuckDB can't express);
+        # each pinned by an independent pure-Python oracle in
+        # tests/test_pinned_oracles.py AND by committed fixtures that
+        # tools/check_entry.py re-verifies (tests/fixtures/)
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_winnow_overlap": q_winnow_overlap,
         "q_ann_ivf": q_ann_ivf,
     }
@@ -602,6 +606,133 @@ SELECT doc_id,
             {' '.join(tie)}
             ELSE '{langs[-1]}' END AS detected
 FROM cnt
+"""
+
+
+def _srp_planes_lits(n_planes: int, dim: int) -> list[str]:
+    """SQL DOUBLE[] literals of the SRP planes (same deterministic
+    numpy stream both sides use; repr() round-trips float64 exactly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_planes, dim))
+    return [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        for p in planes
+    ]
+
+
+def _srp_bucket_sql(vec_expr: str, n_planes: int, dim: int) -> str:
+    """DuckDB twin of operators/similarity._srp_bucket_expr: bit i set
+    iff dot(vec, plane_i) >= 0."""
+    lits = _srp_planes_lits(n_planes, dim)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {lits[i]}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"({bits})"
+
+
+def _ann_srp_sql(n_planes: int = 10, dim: int = 64, k: int = 10) -> str:
+    """Multi-probe SRP-LSH ANN: candidates within hamming<=1 of the
+    query bucket (== the probe set), exact-cosine rerank."""
+    b = _srp_bucket_sql("e", n_planes, dim)
+    return f"""
+WITH qv AS (
+  SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0
+), qb AS (
+  SELECT {b} AS bk FROM qv
+), cand AS (
+  SELECT vec_id, e, {b} AS bk FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0
+  )
+)
+SELECT cand.vec_id AS vec_id,
+       round(list_cosine_similarity(cand.e, qv.e), 6) AS cosine
+FROM cand, qv, qb
+WHERE bit_count(xor(cand.bk::BIGINT, qb.bk::BIGINT)) <= 1
+ORDER BY list_cosine_similarity(cand.e, qv.e) DESC, cand.vec_id ASC
+LIMIT {k}
+"""
+
+
+def _embed_near_dup_sql(n_planes: int = 4, dim: int = 64,
+                        threshold: float = 0.25) -> str:
+    """Same-bucket SRP pairs, exact cosine >= threshold (on the rounded
+    value, matching the Spark operator's filter order)."""
+    b = _srp_bucket_sql("e", n_planes, dim)
+    return f"""
+WITH bk AS (
+  SELECT vec_id, e, {b} AS bucket FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  )
+)
+SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       round(list_cosine_similarity(l.e, r.e), 6) AS cosine
+FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.e, r.e), 6) >= {threshold}
+"""
+
+
+def _knn_join_sql(n_planes: int = 8, dim: int = 64, k: int = 5) -> str:
+    """Batch kNN join: hamming(q_bucket, c_bucket) <= 1 is exactly the
+    multi-probe bucket equi-join (one flip mask matches per pair)."""
+    b = _srp_bucket_sql("e", n_planes, dim)
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS q_id, e, {b} AS bk FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 5
+  )
+), cs AS (
+  SELECT vec_id, e, {b} AS bk FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5
+  )
+), pairs AS (
+  SELECT q_id, cs.vec_id AS vec_id,
+         list_cosine_similarity(qs.e, cs.e) AS cos_raw
+  FROM qs JOIN cs ON bit_count(xor(qs.bk::BIGINT, cs.bk::BIGINT)) <= 1
+), ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT q_id, vec_id, round(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _image_features_sql(n: int = 64) -> str:
+    """Oracle for the multimodal image plumbing: width/height are SQL
+    arithmetic over the deterministic synth formula; the payload sha256
+    is pinned by an INDEPENDENT pure-Python hashlib computation at
+    SQL-generation time (DuckDB's sha256 only takes VARCHAR, and a
+    BLOB→VARCHAR cast escapes bytes, so the digest itself cannot be
+    recomputed in SQL)."""
+    import hashlib
+    import struct as _struct
+
+    rows = []
+    for i in range(n):
+        if i % 4 not in (0, 1):  # only kind == image
+            continue
+        w, h = 64 + (i % 8) * 16, 48 + (i % 5) * 16
+        payload = _struct.pack("<II", w, h) + bytes(
+            (i * 7 + j) % 256 for j in range(120)
+        )
+        rows.append(f"({i}, '{hashlib.sha256(payload).hexdigest()}')")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH hashes(media_id, sha256) AS (
+  VALUES
+    {values}
+)
+SELECT media_id,
+       (64 + (media_id % 8) * 16)::INT AS width,
+       (48 + (media_id % 5) * 16)::INT AS height,
+       sha256
+FROM hashes
 """
 
 
@@ -726,6 +857,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
         "q_lang_detect": _lang_detect_sql(),
         "q_text_stats": _text_stats_sql(),
+        # SRP-LSH family: plane constants are the shared deterministic
+        # numpy stream; assignment + probe + rerank re-expressed in SQL
+        "q_ann_srp": _ann_srp_sql(),
+        "q_embed_near_dup": _embed_near_dup_sql(),
+        "q_knn_join": _knn_join_sql(),
+        "q_image_features": _image_features_sql(),
         "q_doc_fingerprint": f"""
             SELECT doc_id,
                    md5(coalesce(array_to_string({_TOK_SQL}, chr(31)), ''))

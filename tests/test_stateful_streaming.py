@@ -99,3 +99,67 @@ def test_streaming_events_hourly_watermarked(spark, tmp_root):
     assert {(h, t): (n, round(s, 6)) for (h, t), (n, s) in got.items()} == {
         (h, t): (n, round(s, 6)) for (h, t), (n, s) in exp.items()
     }
+
+
+def test_streaming_dedup_bloom_bounded_state(spark, tmp_root):
+    """VERDICT r2 #5: the bloom mode must (a) never let a true
+    duplicate through (no false negatives), (b) keep per-shard state
+    at its FIXED size across batches regardless of distinct count, and
+    (c) exhibit the documented exactness tradeoff — a deliberately
+    undersized filter drops some uniques, an adequately sized one
+    passes everything (at this scale)."""
+    from ela_lib_spark.streaming.stateful import streaming_exact_dedup
+
+    incoming = os.path.join(tmp_root, "bloom_in")
+    os.makedirs(incoming, exist_ok=True)
+    pages = synth_pages_df(spark, 200).cache()
+    b1 = pages.limit(120).unionByName(pages.limit(50))  # in-batch dups
+    b1.write.mode("overwrite").parquet(os.path.join(incoming, "b1"))
+
+    def run(tag, bloom_bits):
+        sink = os.path.join(tmp_root, f"bloom_sink_{tag}")
+        ckpt = os.path.join(tmp_root, f"bloom_ckpt_{tag}")
+        stream = spark.readStream.schema(WEB_PAGES).parquet(incoming + "/*")
+        q = (
+            streaming_exact_dedup(stream, n_shards=4, mode="bloom",
+                                  bloom_bits=bloom_bits)
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt).outputMode("append").start()
+        )
+        q.processAllAvailable()
+        return q, sink
+
+    # adequately sized: 2^16 bits/shard for ~200 hashes → FP ~ 0
+    q, sink = run("big", 1 << 16)
+    got1 = spark.read.parquet(sink).collect()
+    assert len(got1) == 120  # in-batch dups collapsed, no uniques lost
+    assert len({r.content_hash for r in got1}) == 120
+
+    # cross-batch: repeat 0-119, add 120-199 → only the 80 new pass
+    pages.write.mode("overwrite").parquet(os.path.join(incoming, "b2"))
+    q.processAllAvailable()
+    q.stop()
+    got2 = spark.read.parquet(sink).collect()
+    assert len(got2) == 200, "bloom let a cross-batch duplicate through"
+    assert len({r.url for r in got2}) == 200
+
+    # state size is FIXED: read the state store rows via the checkpoint
+    # is provider-internal; assert the contract instead — a filter far
+    # too small for the corpus still never duplicates, it only drops
+    import shutil
+
+    shutil.rmtree(os.path.join(tmp_root, "bloom_in"), ignore_errors=True)
+    os.makedirs(incoming, exist_ok=True)
+    # batch 1 saturates the 64-bit/shard filter (120 docs × 4 probes);
+    # batch 2's 80 NEW docs then almost all test false-positive
+    pages.limit(120).write.mode("overwrite").parquet(os.path.join(incoming, "b1"))
+    q3, sink3 = run("tiny", 64)
+    pages.subtract(pages.limit(120)).write.mode("overwrite").parquet(
+        os.path.join(incoming, "b2")
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    got3 = spark.read.parquet(sink3).collect()
+    hashes = [r.content_hash for r in got3]
+    assert len(hashes) == len(set(hashes)), "tiny bloom emitted a duplicate"
+    assert len(hashes) < 200, "undersized bloom should drop some uniques"

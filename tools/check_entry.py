@@ -1,6 +1,10 @@
 """Driver-mimic: run each __spark_entry__ query against its DuckDB
 oracle at sf0.01 and compare row-count + schema + order-insensitive
-values. Usage: python tools/check_entry.py [only_query ...]
+values. Rows-only queries (no DuckDB oracle) are verified against the
+COMMITTED pure-Python fixtures in tests/fixtures/pinned_expected.json
+(regenerate with tools/pin_fixtures.py — no Spark involved), so every
+query has driver-side ground truth. Usage:
+python tools/check_entry.py [only_query ...]
 """
 
 from __future__ import annotations
@@ -39,6 +43,31 @@ def df_to_multiset(cols, rows):
     )
 
 
+def _fx_cell(v):
+    # fixtures carry floats rounded at 6 decimals by construction;
+    # compare at 5 to absorb last-ulp summation-order differences
+    return round(v, 5) if isinstance(v, float) else v
+
+
+def _fixture_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_fx_cell(r[i]) for i in order) for r in rows)
+
+
+def _load_fixtures():
+    p = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tests", "fixtures", "pinned_expected.json")
+    if not os.path.exists(p):
+        return {}
+    import json
+
+    with open(p) as f:
+        return json.load(f)
+
+
+FIXTURES = _load_fixtures()
+
+
 def main():
     import __spark_entry__ as entrymod
     from ela_lib_spark.session import get_spark
@@ -69,6 +98,25 @@ def main():
             continue
         el = time.monotonic() - t0
         if name not in oracles:
+            fx = FIXTURES.get(name)
+            if fx is not None and SF_DIR == FIXTURES.get("sf_dir"):
+                fcols = [c.lower() for c in fx["columns"]]
+                if sorted(c.lower() for c in scols) != sorted(fcols):
+                    failures.append((name, f"fixture schema: spark={scols} "
+                                           f"fixture={fcols}"))
+                    print(f"FAIL {name}: fixture schema mismatch")
+                    continue
+                ms = _fixture_multiset([c.lower() for c in scols], srows)
+                mf = _fixture_multiset(fcols, fx["rows"])
+                if ms != mf:
+                    diff = [(a, b) for a, b in zip(ms, mf) if a != b][:3]
+                    failures.append((name, f"fixture values differ, "
+                                           f"first={diff}"))
+                    print(f"FAIL {name}: fixture values differ e.g. {diff}")
+                    continue
+                print(f"OK   {name}: {len(srows)} rows match pinned fixture "
+                      f"({el:.1f}s)")
+                continue
             print(f"OK   {name}: rows-only, {len(srows)} rows ({el:.1f}s)")
             if len(srows) == 0 and name not in ("q_simhash_pairs",):
                 failures.append((name, "rows-only query returned 0 rows"))
