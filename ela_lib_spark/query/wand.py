@@ -20,6 +20,13 @@ doc_id tie-break can never be wrongly pruned).
 Rank-identity: contributions come from query/scoring.bm25_contrib —
 the same float64 expression the brute-force oracle uses — accumulated
 in lexicographic term order.
+
+Serving mode: `prepare_serving(load_index(...))` pins postings and a
+per-(shard, term) block-envelope table; AND queries then run as ONE
+Spark job with literal per-shard doc-range predicates instead of
+in-plan envelope aggregations (see _literal_and_prefilter). Tiered
+indexes (post minor-compaction) recompute global df per term and
+scale block-max bounds — see wand_topk.
 """
 
 from __future__ import annotations
@@ -182,6 +189,89 @@ def and_block_prefilter(q: DataFrame, n_terms: int) -> DataFrame:
     )
 
 
+def precompute_envelopes(postings: DataFrame) -> DataFrame:
+    """Serving-mode helper: the per-(shard, term) block envelope table
+    — (shard, term_id, _mn, _mx) over ALL terms. Tiny (one row per
+    term per shard it appears in) and computed ONCE per index load;
+    `prepare_serving` caches it. With it, an AND query's prefilter
+    becomes: filter this table to the query terms (a handful of rows),
+    collect, and push per-shard [lo, hi] doc-range bounds into the
+    postings scan as LITERAL predicates — removing two aggregations
+    and a broadcast join from every AND query's plan."""
+    return postings.groupBy("shard", "term_id").agg(
+        F.min("first_doc_id").alias("_mn"),
+        F.max("last_doc_id").alias("_mx"),
+    )
+
+
+DRIVER_ENV_MAX_ROWS = 2_000_000  # ~100 MB of tuples; above, stay distributed
+
+
+def prepare_serving(index: dict) -> dict:
+    """Pin the serving artifacts in memory: cached postings + the AND
+    envelope table. Mutates and returns `index`. The 100-TB analog is
+    a warm executor cache / Iceberg metadata table, refreshed per
+    snapshot flip.
+
+    When the envelope table is small enough (vocab × shards ≤
+    DRIVER_ENV_MAX_ROWS) it is ALSO pinned driver-side as a dict, so
+    an AND query runs exactly ONE Spark job — the envelope lookup
+    costs a dict access instead of a collect. Above the cap, the
+    cached distributed table is filtered + collected per query (a
+    few-row job over an in-memory relation)."""
+    index["postings"] = index["postings"].cache()
+    index["postings"].count()
+    env = precompute_envelopes(index["postings"]).cache()
+    n = env.count()
+    index["envelopes"] = env
+    if n <= DRIVER_ENV_MAX_ROWS:
+        by_term: dict[int, list] = {}
+        for r in env.collect():
+            by_term.setdefault(r.term_id, []).append(
+                (r.shard, r._mn, r._mx)
+            )
+        index["envelopes_driver"] = by_term
+    return index
+
+
+def _literal_and_prefilter(index: dict, q: DataFrame, ids: list[int]):
+    """Driver-side envelope intersection: look up the query terms'
+    (shard, _mn, _mx) rows — from the driver-pinned dict when present
+    (zero extra jobs), else a few-row collect over the cached envelope
+    table — drop shards missing any term, and return a literal
+    per-shard doc-range predicate, or None if no shard qualifies."""
+    drv = index.get("envelopes_driver")
+    if drv is not None:
+        rows = [(s, mn, mx, t) for t in ids for (s, mn, mx) in drv.get(t, [])]
+    else:
+        rows = [
+            (r.shard, r._mn, r._mx, r.term_id)
+            for r in index["envelopes"].filter(F.col("term_id").isin(ids)).collect()
+        ]
+    by_shard: dict[int, list] = {}
+    for s, mn, mx, t in rows:
+        by_shard.setdefault(s, []).append((mn, mx, t))
+    conds = []
+    for shard, rs in by_shard.items():
+        if len({t for _, _, t in rs}) < len(ids):
+            continue  # AND impossible: a term has no postings here
+        lo = max(mn for mn, _, _ in rs)
+        hi = min(mx for _, mx, _ in rs)
+        if lo > hi:
+            continue
+        conds.append(
+            (F.col("shard") == shard)
+            & (F.col("last_doc_id") >= lo)
+            & (F.col("first_doc_id") <= hi)
+        )
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> DataFrame:
     """Distributed top-k. `index` is index.build.load_index output.
 
@@ -224,7 +314,15 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> D
         ]
         ub_scale = max(1.0, float(m["avg_dl"]) / min(merge_avgs))
     if mode.upper() == "AND" and len(ids) > 1:
-        q = and_block_prefilter(q, len(ids))
+        env = index.get("envelopes")
+        if env is not None:
+            cond = _literal_and_prefilter(index, q, ids)
+            if cond is None:
+                spark = q.sparkSession
+                return spark.createDataFrame([], RESULT_SCHEMA)
+            q = q.filter(cond)
+        else:
+            q = and_block_prefilter(q, len(ids))
     shard_tops = q.groupBy("shard").applyInPandas(
         _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"],
                        ub_scale),

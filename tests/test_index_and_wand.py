@@ -111,3 +111,23 @@ def test_flat_path_matches_brute_ranks(spark, index, corpus_tokens):
         assert all(
             abs(r.score - ws) < 1e-9 for r, (_, ws) in zip(got, want)
         ), q["name"]
+
+
+def test_serving_envelope_prefilter_rank_identical(spark, index, corpus_tokens):
+    """The serving-mode literal AND prefilter (cached envelope table →
+    driver-collected per-shard bounds pushed as literal predicates)
+    must return exactly what the in-plan prefilter path returns —
+    including the no-qualifying-shard empty case."""
+    from ela_lib_spark.oracle.brute import brute_topk
+    from ela_lib_spark.query.wand import prepare_serving, wand_topk
+
+    served = prepare_serving(dict(index))
+    m = index["manifest"]
+    for q in [x for x in reference_queries() if x["mode"] == "AND"]:
+        want = brute_topk(corpus_tokens, q["terms"], "AND", 10,
+                          n_docs=m["n_docs"], avg_dl=m["avg_dl"])
+        got = [(r.doc_id, r.score)
+               for r in wand_topk(served, q["terms"], "AND", 10).collect()]
+        assert got == want, q["name"]
+    # absent term: envelope path short-circuits to an empty frame
+    assert wand_topk(served, ["zzz_not_a_term", "term0000"], "AND", 10).count() == 0
