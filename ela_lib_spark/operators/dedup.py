@@ -97,27 +97,42 @@ def minhash_jaccard(sigs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> D
     return j.select("a", "b", (eq / F.size("sig_a")).alias("est_jaccard"))
 
 
-def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 10,
+                         check_every: int = 2) -> DataFrame:
     """Min-label propagation over undirected edges (a, b) →
     (node, component). Converges in O(diameter) rounds; dedup cluster
-    diameters are tiny, and max_iter bounds the worst case."""
+    diameters are tiny, and max_iter bounds the worst case.
+
+    Driver-barrier hygiene (ADVICE r2): `check_every` propagation
+    steps run between convergence checks (halving the driver action
+    count for the common 2-3-round case), the checkpoint lands BEFORE
+    the changed-count so each round's propagation computes once (the
+    r2 shape recomputed it for the count and again for the
+    checkpoint), and the count itself reads the checkpointed data."""
     sym = edges.select("a", "b").union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)  # reused every iteration — cut the lineage
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("a", "node")
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select("node", F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"))
-        )
+    ).localCheckpoint(eager=True)
+    it = 0
+    while it < max_iter:
+        steps = min(check_every, max_iter - it)
+        new_labels = labels
+        for _ in range(steps):
+            nbr_min = (
+                sym.join(new_labels, sym.b == new_labels.node)
+                .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
+                .withColumnRenamed("a", "node")
+            )
+            new_labels = (
+                new_labels.join(nbr_min, "node", "left")
+                .select("node",
+                        F.least("comp", F.coalesce("nbr_comp", "comp"))
+                        .alias("comp"))
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -125,7 +140,8 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        labels = new_labels
+        it += steps
         if changed == 0:
             break
     return labels
