@@ -195,13 +195,24 @@ def vocab_from_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
 # ------------------------------------------------------------- stage A
 
 
-def _spimi_fn():
+def _spimi_fn(bucket_group: int = 1):
     """mapInPandas closure: per-split SPIMI segment builder.
 
     All-int64 numpy: batches accumulate (bucket, term_id, doc_id,
     doc_len) posting streams; flush() does ONE lexsort + run-length
     pass over up to FLUSH_POSTINGS entries and varint-encodes each
-    (bucket, term) chunk with a single segmented encode call."""
+    chunk with a single segmented encode call.
+
+    Chunk granularity = `bucket_group` consecutive buckets (r3): the
+    merge groups by shard = bucket//group anyway, and doc ids embed
+    the bucket in their high bits, so sorting by (bucket//group,
+    term, doc) yields doc-ascending runs per (group, term) directly.
+    Chunking per BUCKET (r2, group=1) made the zipf tail pay one
+    chunk-row overhead per (bucket, term) — measured 162 MB of merge
+    shuffle for ~20 MB of postings at 512 buckets. part_id of a chunk
+    is the group's first bucket, so merge_chunks' shard derivation
+    (part_id // group) is unchanged; METRICS rows stay per-bucket
+    (resume/ledger granularity is unaffected)."""
 
     def fn(it):
         t0 = time.monotonic()
@@ -222,18 +233,24 @@ def _spimi_fn():
             n = len(t)
             if n == 0:
                 return None
-            order = np.lexsort((d, t, b))
-            b, t, d, l = b[order], t[order], d[order], l[order]
-            # posting runs: same (bucket, term, doc) → tf
+            g = b // bucket_group if bucket_group > 1 else b
+            # sort by (group, term, doc): doc embeds bucket in its high
+            # bits, so doc order within a (group, term) run is
+            # bucket-major ascending — the decoder's delta contract
+            order = np.lexsort((d, t, g))
+            g, t, d, l = g[order], t[order], d[order], l[order]
+            # posting runs: same (group, term, doc) → tf (a doc lives
+            # in exactly one bucket, so doc collisions across buckets
+            # cannot occur)
             new_post = np.ones(n, bool)
-            new_post[1:] = (b[1:] != b[:-1]) | (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+            new_post[1:] = (g[1:] != g[:-1]) | (t[1:] != t[:-1]) | (d[1:] != d[:-1])
             ps = np.flatnonzero(new_post)
             tf = np.diff(np.append(ps, n))
-            pb, pt, pdoc, pl = b[ps], t[ps], d[ps], l[ps]
-            # chunk runs: same (bucket, term)
+            pg, pt, pdoc, pl = g[ps], t[ps], d[ps], l[ps]
+            # chunk runs: same (group, term)
             new_chunk = np.ones(len(ps), bool)
             if len(ps) > 1:
-                new_chunk[1:] = (pb[1:] != pb[:-1]) | (pt[1:] != pt[:-1])
+                new_chunk[1:] = (pg[1:] != pg[:-1]) | (pt[1:] != pt[:-1])
             cs = np.flatnonzero(new_chunk)
             counts = np.diff(np.append(cs, len(ps)))
             deltas = np.empty(len(ps), np.int64)
@@ -243,7 +260,7 @@ def _spimi_fn():
             return pd.DataFrame(
                 {
                     "term_id": pt[cs],
-                    "part_id": pb[cs].astype(np.int32),
+                    "part_id": (pg[cs] * bucket_group).astype(np.int32),
                     "shard": np.zeros(len(cs), np.int32),
                     "doc_ids": varint_encode_segmented(deltas, counts),
                     "tfs": varint_encode_segmented(tf, counts),
@@ -306,14 +323,24 @@ def _spimi_fn():
     return fn
 
 
-def chunks_from_docs(docs_df: DataFrame, skip_buckets=None) -> DataFrame:
-    """Stage A: SPIMI posting chunks, one+ per (bucket, term).
+def chunks_from_docs(docs_df: DataFrame, skip_buckets=None,
+                     bucket_group: int = 1) -> DataFrame:
+    """Stage A: SPIMI posting chunks, one+ per (bucket group, term).
 
     Correctness relies on each bucket's rows being *contiguous and
     doc-id-ascending within each input file* (the docs job writes them
-    that way: its window stage sorts every partition by (bucket, url)),
-    so chunks of the same (bucket, term) from different read splits
-    cover disjoint, ordered doc ranges.
+    that way: its window stage sorts every partition by (bucket, url)
+    — so ascending buckets also make each bucket GROUP a contiguous
+    run), so chunks of the same (group, term) from different read
+    splits cover disjoint, ordered doc ranges.
+
+    `bucket_group` should equal the merge's shard group size
+    (ceil(n_buckets/n_shards), what build_index passes): chunking at
+    the same granularity the merge groups by collapses the zipf tail's
+    per-(bucket, term) chunk-row overhead. Chunks produced at ANY
+    granularity stay mergeable together (part_id→shard is monotone in
+    doc-id space), which is what keeps resume-append and delta epochs
+    (group=1) compatible.
 
     The output carries `is_m` (1 on per-bucket metrics rows, 0 on
     posting chunks) — written with partitionBy("is_m") so the ledger /
@@ -324,7 +351,7 @@ def chunks_from_docs(docs_df: DataFrame, skip_buckets=None) -> DataFrame:
             ~F.col("bucket").isin([int(x) for x in skip_buckets])
         )
     out = docs_df.select("bucket", "doc_id", "term_ids").mapInPandas(
-        _spimi_fn(), schema=POSTING_CHUNKS
+        _spimi_fn(bucket_group), schema=POSTING_CHUNKS
     )
     return out.withColumn(
         "is_m", (F.col("term_id") == F.lit(METRICS_TERM_ID)).cast("int")
@@ -707,7 +734,10 @@ def build_index(
     ch_dir = chunks_path(out_dir)
     _t = time.monotonic()
     sc.setJobDescription("build:chunks")
-    chunks_out = chunks_from_docs(docs, skip_buckets=done or None)
+    # chunk at the merge's shard-group granularity (see chunks_from_docs)
+    group = max(1, (n_buckets + n_shards - 1) // n_shards)
+    chunks_out = chunks_from_docs(docs, skip_buckets=done or None,
+                                  bucket_group=group)
     if resume and os.path.exists(ch_dir):
         # layout guard: a chunks dir from the pre-sidecar layout (flat,
         # no is_m= partition dirs) cannot take a partitionBy append —
