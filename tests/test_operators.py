@@ -438,3 +438,30 @@ def test_classify_diff_empty_intersection_raises(spark):
         classify_diff(src, tgt, key="k").collect()
     with pytest.raises(SettingsError):
         content_hash(src, "k", cols=[])
+
+
+def test_ivf_driver_sample_capped_by_bytes(spark):
+    """VERDICT r2 #7: at dim=768 the k-means training sample must be
+    capped by BYTES, not rows — a byte budget of 8*768*50 B must train
+    on exactly the same (floored) sample as an explicit row cap."""
+    import numpy as np
+
+    from ela_lib_spark.operators.similarity import ivf_train_centroids
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, rng.standard_normal(768).tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    dim, n_lists = 768, 4
+    floor = 32 * n_lists  # 128 rows — the train-ability floor
+    capped = ivf_train_centroids(
+        emb, dim, n_lists=n_lists, sample_n=100_000,
+        sample_bytes=8 * dim * 50,  # asks for 50 rows → floored to 128
+    )
+    explicit = ivf_train_centroids(emb, dim, n_lists=n_lists, sample_n=floor)
+    assert capped.shape == (n_lists, dim)
+    np.testing.assert_array_equal(capped, explicit)
+    # default budget (256 MB) would hold ~43k dim-768 rows — far below
+    # the r2 default of 100k rows (~600 MB), the reviewed risk
+    assert (256 << 20) // (8 * dim) < 100_000
