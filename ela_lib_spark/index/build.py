@@ -362,10 +362,15 @@ def chunks_from_docs(docs_df: DataFrame, skip_buckets=None,
 
 
 def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
-                            block_size: int) -> pd.DataFrame:
+                            block_size: int,
+                            deleted: np.ndarray | None = None) -> pd.DataFrame:
     """Whole-batch merge with ~20 numpy calls total, independent of the
     number of (term, shard) groups — the zipf tail makes most groups
-    tiny, so per-group work must be O(0). varint codec only."""
+    tiny, so per-group work must be O(0). varint codec only.
+
+    `deleted` (sorted int64 doc ids) purges tombstoned postings during
+    the merge: postings are dropped after id reconstruction and chunk
+    lengths recomputed, so emitted blocks contain live docs only."""
     k1, b = BM25_K1, BM25_B
     n = pdf["n_docs"].to_numpy(np.int64)
     total = int(n.sum())
@@ -386,6 +391,28 @@ def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
     ids = cs - np.repeat(cs[chunk_starts] - deltas[chunk_starts], n) + np.repeat(
         first_arr, n
     )
+
+    if deleted is not None and len(deleted) and total:
+        pos = np.searchsorted(deleted, ids)
+        dead = (pos < len(deleted)) & (deleted[np.minimum(pos, len(deleted) - 1)] == ids)
+        if dead.any():
+            keep = ~dead
+            n = np.add.reduceat(keep.astype(np.int64), chunk_starts) \
+                if nrows else n
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            total = int(n.sum())
+            chunk_starts = np.zeros(nrows, np.int64)
+            np.cumsum(n[:-1], out=chunk_starts[1:])
+            # a chunk may now be empty; groups/blocks below handle n=0
+            # rows naturally (zero blocks are emitted for them)
+
+    if total == 0:  # every posting in the batch was tombstoned
+        return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in (
+            ("term_id", "int64"), ("shard", "int32"), ("block_id", "int32"),
+            ("first_doc_id", "int64"), ("last_doc_id", "int64"),
+            ("doc_ids_delta", "object"), ("tfs", "object"), ("dls", "object"),
+            ("n_docs", "int32"), ("block_max_impact", "float64"),
+            ("df", "int64"))})
 
     impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
 
@@ -445,7 +472,7 @@ def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
 
 def _merge_group(out: dict, term_id: int, shard: int, df_val: int,
                  g: pd.DataFrame, avg_dl: float, codec: str,
-                 block_size: int) -> None:
+                 block_size: int, deleted: np.ndarray | None = None) -> None:
     """Merge one (term, shard) group's chunks into encoded blocks
     (non-varint codecs; the varint path is batch-vectorized above)."""
     k1, b = BM25_K1, BM25_B
@@ -459,6 +486,13 @@ def _merge_group(out: dict, term_id: int, shard: int, df_val: int,
     ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0]
     tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
     dls = np.concatenate(dls_l) if len(dls_l) > 1 else dls_l[0]
+    if deleted is not None and len(deleted) and len(ids):
+        pos = np.searchsorted(deleted, ids)
+        keep = ~((pos < len(deleted))
+                 & (deleted[np.minimum(pos, len(deleted) - 1)] == ids))
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if len(ids) == 0:
+            return
     impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
     for blk, s in enumerate(range(0, len(ids), block_size)):
         e = min(s + block_size, len(ids))
@@ -478,7 +512,8 @@ def _merge_group(out: dict, term_id: int, shard: int, df_val: int,
         out["df"].append(df_val)
 
 
-def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
+def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE,
+                     deleted: np.ndarray | None = None):
     """mapInPandas merge: the input partition is sorted by
     (term_id, shard, first_doc_id); groups are detected by key change
     and the trailing (possibly batch-spanning) group is buffered. This
@@ -487,11 +522,11 @@ def _merge_stream_fn(avg_dl: float, codec: str, block_size: int = BLOCK_SIZE):
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         if codec == CODEC_VARINT:
-            return _merge_batch_vectorized(pdf, avg_dl, block_size)
+            return _merge_batch_vectorized(pdf, avg_dl, block_size, deleted)
         out = {k: [] for k in POSTINGS.fieldNames()}
         for (term_id, shard), g in pdf.groupby(["term_id", "shard"], sort=False):
             _merge_group(out, int(term_id), int(shard), int(g["df"].iloc[0]),
-                         g, avg_dl, codec, block_size)
+                         g, avg_dl, codec, block_size, deleted)
         return pd.DataFrame(out)
 
     def fn(it):
@@ -521,12 +556,21 @@ def merge_chunks(
     n_buckets: int,
     codec: str = CODEC_VARINT,
     merge_partitions: int | None = None,
+    deleted: np.ndarray | None = None,
 ) -> DataFrame:
     """Stage B: salted merge. shard = bucket-range group (order-preserving
     salt); df per term aggregated from chunk metadata (cheap — no
     decode), then carried into each salted group. The shuffle is an
     explicit repartition on (term_id, shard) + in-partition sort; the
-    merge itself streams through mapInPandas (see _merge_stream_fn)."""
+    merge itself streams through mapInPandas (see _merge_stream_fn).
+
+    `deleted` (sorted int64 doc ids — tombstones from upsert/delete
+    delta batches) purges those docs' postings during the merge; the
+    STORED per-block df then still counts purged docs (it comes from
+    chunk metadata, which is immutable history), so compactions that
+    purge set `df_stale` in the manifest and the query path recomputes
+    live df per term (query/wand.py — the same cheap branch tiered
+    indexes use)."""
     group = max(1, (n_buckets + n_shards - 1) // n_shards)
     pre = chunks.filter(F.col("term_id") != METRICS_TERM_ID).withColumn(
         "shard", (F.col("part_id") / group).cast("int")
@@ -543,7 +587,8 @@ def merge_chunks(
         merge_partitions = max(2 * spark.sparkContext.defaultParallelism, 16)
     part = joined.repartition(merge_partitions, "term_id", "shard")
     part = part.sortWithinPartitions("term_id", "shard", "first_doc_id")
-    return part.mapInPandas(_merge_stream_fn(avg_dl, codec), schema=POSTINGS)
+    return part.mapInPandas(_merge_stream_fn(avg_dl, codec, deleted=deleted),
+                            schema=POSTINGS)
 
 
 # ------------------------------------------------------------ pipeline
@@ -675,6 +720,44 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
                 dirs_exist_ok=True,
             )
     os.replace(tmp, _manifest_path(out_dir))
+
+
+def delete_epochs_on_disk(out_dir: str) -> list[int]:
+    p = os.path.join(out_dir, "delta_deletes")
+    if not os.path.exists(p):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(p)
+        if e.startswith("epoch=") and os.path.isdir(os.path.join(p, e))
+    )
+
+
+def read_tombstones(spark: SparkSession, out_dir: str,
+                    epochs: list[int] | None = None) -> DataFrame | None:
+    """Tombstoned doc ids from upsert/delete delta batches
+    (delta_deletes/epoch=N, one `doc_id long` column). `epochs`
+    restricts to a snapshot's pinned set (time travel); None = all."""
+    p = os.path.join(out_dir, "delta_deletes")
+    if not os.path.exists(p):
+        return None
+    df = spark.read.option("basePath", p).parquet(p)
+    if epochs is not None:
+        df = df.filter(F.col("epoch").isin([int(e) for e in epochs]))
+    return df.select("doc_id")
+
+
+def collect_tombstones(spark: SparkSession, out_dir: str,
+                       epochs: list[int] | None = None) -> np.ndarray:
+    """Sorted int64 tombstone array for merge-time purge / query-time
+    filtering. Size is bounded by deletes accumulated in the delta log
+    (8 B per tombstone — 10^8 deletes ≈ 800 MB; beyond that, rewrite
+    the chunk store minus tombstones, the Lucene segment-rewrite
+    analog, and truncate the delete log)."""
+    t = read_tombstones(spark, out_dir, epochs)
+    if t is None:
+        return np.zeros(0, np.int64)
+    return np.unique(np.array([r.doc_id for r in t.collect()], np.int64))
 
 
 def postings_path(out_dir: str) -> str:
@@ -830,6 +913,7 @@ def build_index(
         "postings_dir": "postings",
         "chunks_dir": "chunks",
         "snapshot_id": snapshot,
+        "delete_epochs": delete_epochs_on_disk(out_dir),
     }
     write_manifest(out_dir, manifest)
     return manifest
@@ -882,6 +966,17 @@ def load_index(spark: SparkSession, out_dir: str,
             doc_stats = doc_stats.unionByName(
                 extra.select("doc_id", "url", "doc_len", "bucket")
             )
+        # tombstones (upsert/delete delta batches): live loads see every
+        # delete epoch on disk; time-traveled loads see the epoch set
+        # pinned in the snapshot manifest (absent field = none existed)
+        del_epochs = (manifest.get("delete_epochs", [])
+                      if snapshot_id is not None else None)
+        tomb = read_tombstones(spark, out_dir, del_epochs)
+        if tomb is not None:
+            doc_stats = doc_stats.join(tomb, "doc_id", "left_anti")
+            deleted_ids = collect_tombstones(spark, out_dir, del_epochs)
+        else:
+            deleted_ids = np.zeros(0, np.int64)
         postings = spark.read.parquet(
             os.path.join(out_dir, manifest.get("postings_dir", "postings"))
         )
@@ -913,6 +1008,7 @@ def load_index(spark: SparkSession, out_dir: str,
             "doc_stats": doc_stats,
             "corpus_stats": corpus_stats,
             "ledger": ledger,
+            "deleted_ids": deleted_ids,
         }
     except Exception as e:  # manifest points at missing/unreadable data
         raise IndexCorruptError(

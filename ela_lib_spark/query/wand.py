@@ -54,7 +54,8 @@ def _compact(ids: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
-                   avg_dl: float, codec: str, ub_scale: float = 1.0):
+                   avg_dl: float, codec: str, ub_scale: float = 1.0,
+                   deleted: np.ndarray | None = None):
     # Postings are keyed by term_id = xxhash64(term); iteration stays in
     # lexicographic *string* order — rank-identity with the brute oracle
     # depends on the float accumulation order.
@@ -141,6 +142,13 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
             if is_and:
                 m = cnt == nt
                 union, score = union[m], score[m]
+            if deleted is not None and len(deleted) and len(union):
+                # tombstone filter INSIDE the shard top-k: a deleted
+                # doc must never displace a live one from the heap
+                pos = np.searchsorted(deleted, union)
+                live = ~((pos < len(deleted))
+                         & (deleted[np.minimum(pos, len(deleted) - 1)] == union))
+                union, score = union[live], score[live]
             if len(union) == 0:
                 continue
             top_ids = np.concatenate([top_ids, union])
@@ -298,9 +306,12 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> D
     m = index["manifest"]
     ids = [spark_xxhash64(t) for t in sorted(set(terms))]
     q = index["postings"].filter(F.col("term_id").isin(ids))
+    deleted = index.get("deleted_ids")
+    if deleted is not None and len(deleted) == 0:
+        deleted = None
     tiers = m.get("tiers") or []
     ub_scale = 1.0
-    if tiers:
+    if tiers or m.get("df_stale"):
         df_tbl = q.groupBy("term_id").agg(
             F.sum("n_docs").cast("long").alias("_df_global")
         )
@@ -325,7 +336,7 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> D
             q = and_block_prefilter(q, len(ids))
     shard_tops = q.groupBy("shard").applyInPandas(
         _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"],
-                       ub_scale),
+                       ub_scale, deleted),
         schema=RESULT_SCHEMA,
     )
     return shard_tops.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

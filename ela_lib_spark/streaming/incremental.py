@@ -39,15 +39,54 @@ from ela_lib_spark.schemas import WEB_PAGES
 DELTA_BUCKET_BASE = 1 << 20  # streamed buckets live above bulk buckets
 
 
+def _existing_doc_dict(spark, index_dir: str,
+                       exclude_epoch: int | None = None) -> DataFrame | None:
+    """(url, doc_id) over every doc currently known to the index —
+    bulk docs table plus prior delta epochs' doc dictionaries.
+    `exclude_epoch` keeps a REPLAYED epoch from tombstoning its own
+    docs (crash between the epoch's doc-stats commit and the
+    checkpoint advance)."""
+    import os as _os
+
+    out = None
+    bulk = _os.path.join(index_dir, "docs")
+    if _os.path.exists(bulk):
+        out = spark.read.parquet(bulk).select("url", "doc_id")
+    delta_ds = _os.path.join(index_dir, "delta_doc_stats")
+    if _os.path.exists(delta_ds):
+        extra = spark.read.option("basePath", delta_ds).parquet(delta_ds)
+        if exclude_epoch is not None:
+            extra = extra.filter(F.col("epoch") != int(exclude_epoch))
+        extra = extra.select("url", "doc_id")
+        out = extra if out is None else out.unionByName(extra)
+    return out
+
+
 def apply_delta_batch(
-    batch_df: DataFrame, epoch_id: int, index_dir: str, n_buckets: int = 8
+    batch_df: DataFrame, epoch_id: int, index_dir: str, n_buckets: int = 8,
+    mode: str = "append",
 ) -> None:
     """foreachBatch body: SPIMI-chunk the micro-batch and commit it
     under an epoch-keyed path (replay-idempotent overwrite).
 
     Streamed docs get bucket/doc ids shifted into a per-epoch reserved
     range ABOVE all bulk buckets, so ids never collide with the base
-    index — required for compaction to interleave postings correctly."""
+    index — required for compaction to interleave postings correctly.
+
+    Modes (url is the document key, the reference's `_id` analog):
+    - "append": pure adds (r2 behavior). A re-crawled url would leave
+      BOTH versions searchable — use upsert for re-ingestion.
+    - "upsert": also TOMBSTONE every existing doc whose url appears in
+      the batch (delta_deletes/epoch=N, one `doc_id long` column) —
+      last write wins, the sync/migration semantics of the reference's
+      create/update reconciliation (migrator.go sync_diff classes).
+    - "delete": tombstone matching urls, index nothing (batch needs
+      only a `url` column).
+    Tombstones are purged from postings at compaction and filtered
+    inside the WAND shard scorer until then (query/wand.py); corpus
+    stats exclude them from the next compaction onward (the Lucene
+    deleted-docs convention: stats refresh at merge, not per delete).
+    """
     from ela_lib_spark.index.build import (
         DOC_BITS,
         chunks_from_docs,
@@ -55,7 +94,24 @@ def apply_delta_batch(
         docs_with_term_ids,
     )
 
+    spark = batch_df.sparkSession
+    if mode not in ("append", "upsert", "delete"):
+        raise ValueError(f"unknown delta mode {mode!r}")
+    if mode in ("upsert", "delete"):
+        existing = _existing_doc_dict(spark, index_dir, exclude_epoch=epoch_id)
+        if existing is not None:
+            old = existing.join(
+                batch_df.select("url").distinct(), "url", "left_semi"
+            ).select("doc_id")
+            old.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "delta_deletes", f"epoch={epoch_id}")
+            )
+    if mode == "delete":
+        return
+
     offset = DELTA_BUCKET_BASE + epoch_id * n_buckets
+    if mode == "upsert":  # one version per url per epoch (last-write)
+        batch_df = batch_df.dropDuplicates(["url"])
     docs = docs_with_term_ids(batch_df, n_buckets)
     docs = docs.withColumn("bucket", (F.col("bucket") + offset).cast("int")).withColumn(
         "doc_id", F.col("doc_id") + (offset << DOC_BITS)
@@ -107,10 +163,44 @@ def delta_epochs_on_disk(index_dir: str) -> list[int]:
     )
 
 
-def _refresh_control_tables(spark, index_dir: str, metrics, snapshot: str):
+def _tombstone_decrements(spark, index_dir: str) -> dict[int, tuple[int, int]]:
+    """{bucket: (n_docs, n_tokens)} of tombstoned docs — joins the
+    delete log against the doc dictionary (bulk docs + delta epochs),
+    so compacted corpus stats count LIVE docs only."""
+    from pyspark.sql import functions as F2
+
+    from ela_lib_spark.index.build import read_tombstones
+
+    tomb = read_tombstones(spark, index_dir)
+    if tomb is None:
+        return {}
+    dims = None
+    bulk = os.path.join(index_dir, "docs")
+    if os.path.exists(bulk):
+        dims = spark.read.parquet(bulk).select("doc_id", "bucket", "doc_len")
+    delta_ds = os.path.join(index_dir, "delta_doc_stats")
+    if os.path.exists(delta_ds):
+        extra = (spark.read.option("basePath", delta_ds).parquet(delta_ds)
+                 .select("doc_id", "bucket", "doc_len"))
+        dims = extra if dims is None else dims.unionByName(extra)
+    if dims is None:
+        return {}
+    rows = (
+        dims.join(tomb, "doc_id", "left_semi")
+        .groupBy("bucket")
+        .agg(F2.count("*").alias("dn"),
+             F2.sum("doc_len").cast("long").alias("dt"))
+        .collect()
+    )
+    return {int(r.bucket): (int(r.dn), int(r.dt)) for r in rows}
+
+
+def _refresh_control_tables(spark, index_dir: str, metrics, snapshot: str,
+                            decrements: dict | None = None):
     """Rewrite ledger + corpus_stats from the union of committed metrics
-    rows (base sidecar is partition-pruned; delta epochs are tiny) —
-    load_index must never return tables that contradict the manifest."""
+    rows (base sidecar is partition-pruned; delta epochs are tiny),
+    minus per-bucket tombstone decrements — load_index must never
+    return tables that contradict the manifest."""
     from pyspark.sql import functions as F2
 
     from ela_lib_spark.index.build import _write_small_parquet
@@ -124,6 +214,15 @@ def _refresh_control_tables(spark, index_dir: str, metrics, snapshot: str):
         )
         .collect()
     )
+    if decrements:
+        from types import SimpleNamespace
+
+        adj = []
+        for r in ledger_rows:
+            dn, dt = decrements.get(int(r.part_id), (0, 0))
+            adj.append(SimpleNamespace(part_id=r.part_id, n_docs=r.n_docs - dn,
+                                       n_tokens=r.n_tokens - dt, secs=r.secs))
+        ledger_rows = adj
     n_docs = sum(r.n_docs for r in ledger_rows)
     n_tokens = sum(r.n_tokens for r in ledger_rows)
     avg_dl = float(n_tokens) / float(n_docs) if n_docs else 0.0
@@ -223,15 +322,30 @@ def compact_index(
     )
     metrics = all_chunks.filter(F2.col("term_id") == METRICS_TERM_ID)
 
+    from ela_lib_spark.index.build import (
+        collect_tombstones,
+        delete_epochs_on_disk,
+    )
+
+    deleted = collect_tombstones(spark, index_dir)
+    decrements = _tombstone_decrements(spark, index_dir) if len(deleted) else {}
     snapshot = new_snapshot_id("compact")
-    n_docs, avg_dl = _refresh_control_tables(spark, index_dir, metrics, snapshot)
+    n_docs, avg_dl = _refresh_control_tables(spark, index_dir, metrics,
+                                             snapshot, decrements)
+    if len(deleted):
+        # stored per-block df comes from immutable chunk metadata and
+        # still counts purged docs — route queries through the live-df
+        # recompute (same branch tiered reads use)
+        manifest["df_stale"] = True
+    manifest["delete_epochs"] = delete_epochs_on_disk(index_dir)
 
     if mode == "minor":
         gen = int(manifest.get("tier_gen", 0)) + 1
         tier_name = f"postings-t{gen}"
         tier_chunks = delta.filter(F2.col("epoch").isin(new_epochs)).drop("epoch")
         merged = merge_chunks(tier_chunks, avg_dl, n_shards,
-                              manifest["n_buckets"], manifest["codec"])
+                              manifest["n_buckets"], manifest["codec"],
+                              deleted=deleted if len(deleted) else None)
         merged.write.mode("overwrite").parquet(
             os.path.join(index_dir, tier_name)
         )
@@ -257,7 +371,8 @@ def compact_index(
         os.path.join(index_dir, t["postings_dir"]) for t in tiers
     ]
     merged = merge_chunks(all_chunks, avg_dl, n_shards, manifest["n_buckets"],
-                          manifest["codec"])
+                          manifest["codec"],
+                          deleted=deleted if len(deleted) else None)
     merged.write.mode("overwrite").parquet(
         os.path.join(index_dir, new_postings_name)
     )

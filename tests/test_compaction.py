@@ -187,3 +187,92 @@ def test_compaction_refreshes_control_tables(spark, tmp_root):
     assert idx["doc_stats"].select("doc_id").distinct().count() == 300
     chunks_dir = os.path.join(idx_dir, idx["manifest"]["chunks_dir"])
     assert os.path.isdir(os.path.join(chunks_dir, "is_m=1"))
+
+
+def test_upsert_delete_tombstones_and_purge(spark, tmp_root):
+    """Upsert/delete delta semantics (r3): re-ingested urls tombstone
+    their old doc ids (last-write-wins); tombstoned docs never appear
+    in results (query-side filter pre-compaction, merge-time purge
+    after); corpus stats exclude them from the next compaction on; a
+    major compaction physically removes their postings and restores
+    exact rank-identity vs brute force over the LIVE corpus."""
+    from ela_lib_spark.index.build import collect_tombstones
+
+    idx_dir = os.path.join(tmp_root, "upsert_idx")
+    pages = synth_pages_df(spark, 400).cache()
+    base = pages.limit(300).cache()
+    extra = pages.subtract(base).cache()
+    assert extra.count() == 100
+
+    build_index(spark, base, idx_dir, n_buckets=4, n_shards=2, use_html=True)
+
+    # epoch 0 (upsert): 50 re-crawled urls with CHANGED text + 50 new
+    changed = base.limit(50).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzupdated zzupdated"))
+    )
+    new50 = extra.limit(50)
+    apply_delta_batch(changed.unionByName(new50), 0, idx_dir,
+                      n_buckets=4, mode="upsert")
+
+    idx1 = load_index(spark, idx_dir)
+    assert len(idx1["deleted_ids"]) == 50
+    old_ids = set(int(x) for x in idx1["deleted_ids"])
+    # pre-compaction: the query-side filter hides tombstoned docs even
+    # though their postings are still in the base index
+    got = {r.doc_id for r in wand_topk(idx1, ["term0000"], "OR", 300).collect()}
+    assert not (got & old_ids), "tombstoned doc leaked into results"
+    # doc_stats surface excludes tombstones too
+    assert idx1["doc_stats"].join(
+        spark.createDataFrame([(i,) for i in old_ids], "doc_id long"),
+        "doc_id", "left_semi").count() == 0
+
+    # minor compaction: new versions become searchable, stats go live
+    res = compact_index(spark, idx_dir, n_shards=2)
+    assert res["mode"] == "minor"
+    idx2 = load_index(spark, idx_dir)
+    assert idx2["manifest"]["n_docs"] == 350  # 300 - 50 + 100
+    assert idx2["corpus_stats"].first().n_docs == 350
+    upd = {r.doc_id for r in
+           wand_topk(idx2, ["zzupdated"], "OR", 100).collect()}
+    assert len(upd) == 50 and not (upd & old_ids)
+    got = {r.doc_id for r in wand_topk(idx2, ["term0000"], "OR", 350).collect()}
+    assert not (got & old_ids)
+
+    # epoch 1 (delete): drop 30 of the new docs by url
+    apply_delta_batch(new50.limit(30).select("url"), 1, idx_dir,
+                      n_buckets=4, mode="delete")
+    assert len(collect_tombstones(spark, idx_dir)) == 80
+
+    # major compaction: postings physically purged, df recomputed live
+    res = compact_index(spark, idx_dir, n_shards=2, mode="major")
+    assert res["mode"] == "major"
+    idx3 = load_index(spark, idx_dir)
+    assert idx3["manifest"]["n_docs"] == 320
+    assert idx3["manifest"]["df_stale"] is True
+
+    # ground truth over the LIVE corpus with the engine's ids
+    toks = {
+        r.doc_id: list(r.tokens)
+        for r in ids_with_tokens(base, 4, use_html=True)
+        .select("doc_id", "tokens").collect()
+        if r.doc_id not in old_ids
+    }
+    dead_urls = {r.url for r in new50.limit(30).select("url").collect()}
+    off = DELTA_BUCKET_BASE
+    for r in (
+        ids_with_tokens(changed.unionByName(new50), 4)
+        .withColumn("doc_id", F.col("doc_id") + (off << DOC_BITS))
+        .select("url", "doc_id", "tokens").collect()
+    ):
+        if r.url not in dead_urls:
+            toks[r.doc_id] = list(r.tokens)
+    assert len(toks) == 320
+
+    m = idx3["manifest"]
+    for terms, mode in ([["term0000"], "OR"], [["zzupdated"], "OR"],
+                        [["term0002", "term0045"], "AND"]):
+        want = brute_topk(toks, terms, mode, k=10, n_docs=m["n_docs"],
+                          avg_dl=m["avg_dl"])
+        got = [(r.doc_id, r.score)
+               for r in wand_topk(idx3, terms, mode, k=10).collect()]
+        assert got == want, (terms, mode)
