@@ -79,6 +79,28 @@ def main(argv=None, spark=None):
     h = sub.add_parser("history", help="list the index's snapshot log")
     h.add_argument("index_dir")
 
+    d = sub.add_parser(
+        "delta",
+        help="apply a parquet micro-batch to the index as a delta epoch "
+             "(append / url-keyed upsert / delete)",
+    )
+    d.add_argument("batch")
+    d.add_argument("index_dir")
+    d.add_argument("epoch", type=int)
+    d.add_argument("--mode", default="append",
+                   choices=["append", "upsert", "delete"])
+    d.add_argument("--n-buckets", type=int, default=8)
+
+    co = sub.add_parser(
+        "compact",
+        help="compact delta epochs into the index (minor = O(delta) tier "
+             "merge; major = full re-merge, purges tombstones)",
+    )
+    co.add_argument("index_dir")
+    co.add_argument("--mode", default="auto",
+                    choices=["auto", "minor", "major"])
+    co.add_argument("--n-shards", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "history":  # pure metadata — no session needed
@@ -115,6 +137,19 @@ def main(argv=None, spark=None):
             use_html=args.use_html, resume=args.resume,
         )
         print(json.dumps(m))
+    elif args.cmd == "delta":
+        from ela_lib_spark.streaming.incremental import apply_delta_batch
+
+        batch = spark.read.parquet(args.batch)
+        apply_delta_batch(batch, args.epoch, args.index_dir,
+                          n_buckets=args.n_buckets, mode=args.mode)
+        print(json.dumps({"epoch": args.epoch, "mode": args.mode}))
+    elif args.cmd == "compact":
+        from ela_lib_spark.streaming.incremental import compact_index
+
+        res = compact_index(spark, args.index_dir, n_shards=args.n_shards,
+                            mode=args.mode)
+        print(json.dumps(res))
     elif args.cmd == "query":
         from ela_lib_spark.index.build import load_index
         from ela_lib_spark.query.wand import wand_topk

@@ -148,6 +148,25 @@ def test_cli_end_to_end(spark, tmp_root, capsys):
 
     tpl = os.path.join(tmp_root, "cli_tpl")
     assert main(["create_template", wh, tpl, "pages_*"], spark=spark) == 0
+
+    # delta upsert + compact through the CLI (r3): re-ingest 20 urls
+    # with changed text, then compact and re-query
+    from pyspark.sql import functions as F
+
+    batch = os.path.join(tmp_root, "cli_batch")
+    spark.read.parquet(pages).limit(20).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" cliupdated"))
+    ).write.mode("overwrite").parquet(batch)
+    assert main(["delta", batch, idx, "0", "--mode", "upsert",
+                 "--n-buckets", "4"], spark=spark) == 0
+    assert main(["compact", idx, "--n-shards", "2"], spark=spark) == 0
+    res = json_mod.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["mode"] == "minor" and res["n_docs"] == 600
+    assert main(["query", idx, "cliupdated", "--mode", "OR", "-k", "25"],
+                spark=spark) == 0
+    out = [json_mod.loads(ln)
+           for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(out) == 20
     t = spark.read.parquet(tpl)
     assert t.count() == 0 and set(t.columns) == set(
         spark.read.parquet(pages).columns
