@@ -129,9 +129,12 @@ def incremental_index_maintenance(
     index_dir: str,
     checkpoint_dir: str,
     n_buckets: int = 8,
+    mode: str = "append",
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
     """Start the maintenance stream. Caller stops it (or uses
-    trigger(availableNow) semantics via processAllAvailable in tests)."""
+    trigger(availableNow) semantics via processAllAvailable in tests).
+    `mode="upsert"` gives url-keyed last-write-wins semantics for
+    re-crawled pages (see apply_delta_batch)."""
     stream = (
         spark.readStream.schema(WEB_PAGES).parquet(incoming_dir)
     )
@@ -139,7 +142,8 @@ def incremental_index_maintenance(
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda df, epoch: apply_delta_batch(df, epoch, index_dir, n_buckets)
+            lambda df, epoch: apply_delta_batch(df, epoch, index_dir,
+                                                n_buckets, mode=mode)
         )
         .start()
     )
