@@ -237,6 +237,14 @@ def test_upsert_delete_tombstones_and_purge(spark, tmp_root):
     assert len(upd) == 50 and not (upd & old_ids)
     got = {r.doc_id for r in wand_topk(idx2, ["term0000"], "OR", 350).collect()}
     assert not (got & old_ids)
+    # serving mode (cached envelopes + literal AND prefilter) must
+    # apply the same tombstone filter
+    from ela_lib_spark.query.wand import prepare_serving
+
+    served = prepare_serving(dict(idx2))
+    got_and = {r.doc_id for r in
+               wand_topk(served, ["term0002", "term0045"], "AND", 350).collect()}
+    assert not (got_and & old_ids)
 
     # epoch 1 (delete): drop 30 of the new docs by url
     apply_delta_batch(new50.limit(30).select("url"), 1, idx_dir,
