@@ -426,14 +426,15 @@ anywhere — r2's was rejected by the judge and is deleted.
 
 {result['phase_table']}
 
-Reading: `docs`/`chunks`/`ledger` JVM task CPU is parallelism-invariant
-(within a few %), i.e. the same work is done at both levels and the
-wall ratio is pure parallel speedup. The `merge` phase's JVM CPU grows
-with concurrency while its GC time stays ~zero: those are
-memory-stall cycles — {hi} concurrent shuffle-decode tasks sharing
-this single host's memory bus (the membw curve below is the host
-ceiling). On a real N→4N cluster each added executor brings its own
-memory bus, so this term — the only non-invariant one — does not
+Reading: `docs`/`chunks`/`ledger` JVM task CPU differs by at most
+{result['scaling']['nonmerge_cpu_delta_max_pct']:+.0f}% between levels
+(same work at both levels up to host noise; the wall ratio is
+parallel speedup). The `merge` phase's JVM CPU grows
+{result['scaling']['merge_cpu_delta_pct']:+.0f}% with concurrency
+while its GC time stays ~zero: those are memory-stall cycles — {hi}
+concurrent shuffle-decode tasks sharing this single host's memory bus
+(the membw curve below is the host ceiling). On a real N→4N cluster
+each added executor brings its own memory bus, so this term does not
 exist; the wall-clock efficiency measured here is therefore a LOWER
 bound on multi-executor scaling.
 
@@ -598,6 +599,16 @@ def main():
             100.0 * (best_hi["tree_cpu_s"] - best_lo["tree_cpu_s"])
             / best_lo["tree_cpu_s"] if best_lo["tree_cpu_s"] else 0.0
         )
+
+        def _cpu_delta(ph):
+            a = best_lo["phases"].get(ph, {}).get("cpu_s", 0.0)
+            b = best_hi["phases"].get(ph, {}).get("cpu_s", 0.0)
+            return 100.0 * (b - a) / a if a else 0.0
+
+        nonmerge_max = max(
+            (_cpu_delta(p) for p in ("docs", "chunks", "ledger")),
+            key=abs, default=0.0,
+        )
         result["scaling"] = {
             "cores_lo": lo,
             "cores_hi": hi,
@@ -611,6 +622,8 @@ def main():
             "tree_cpu_lo": best_lo["tree_cpu_s"],
             "tree_cpu_hi": best_hi["tree_cpu_s"],
             "tree_cpu_delta_pct": round(tree_delta, 1),
+            "nonmerge_cpu_delta_max_pct": round(nonmerge_max, 1),
+            "merge_cpu_delta_pct": round(_cpu_delta("merge"), 1),
             "driver_gap_s": round(
                 (best_lo["driver_gap_s"] + best_hi["driver_gap_s"]) / 2, 2
             ),
