@@ -101,6 +101,14 @@ def main(argv=None, spark=None):
                     choices=["auto", "minor", "major"])
     co.add_argument("--n-shards", type=int, default=8)
 
+    g = sub.add_parser(
+        "gc",
+        help="chunk-store rewrite: purge tombstones, consolidate delta "
+             "epochs, truncate the delete log (Lucene segment-rewrite analog)",
+    )
+    g.add_argument("index_dir")
+    g.add_argument("--n-shards", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "history":  # pure metadata — no session needed
@@ -150,6 +158,11 @@ def main(argv=None, spark=None):
         res = compact_index(spark, args.index_dir, n_shards=args.n_shards,
                             mode=args.mode)
         print(json.dumps(res))
+    elif args.cmd == "gc":
+        from ela_lib_spark.streaming.incremental import gc_index
+
+        print(json.dumps(gc_index(spark, args.index_dir,
+                                  n_shards=args.n_shards)))
     elif args.cmd == "query":
         from ela_lib_spark.index.build import load_index
         from ela_lib_spark.query.wand import wand_topk

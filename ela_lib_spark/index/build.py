@@ -722,6 +722,29 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
+def docs_dir_path(out_dir: str, manifest: dict | None = None) -> str:
+    m = manifest if manifest is not None else (read_manifest(out_dir) or {})
+    return os.path.join(out_dir, m.get("docs_dir") or "docs")
+
+
+def delta_doc_stats_dirs(out_dir: str,
+                         manifest: dict | None = None) -> list[str]:
+    """Existing delta doc-dictionary dirs: the GC-consolidated dir the
+    manifest points at (if any) plus the default live dir new epochs
+    keep writing into. Deduped, existing-only."""
+    m = manifest if manifest is not None else (read_manifest(out_dir) or {})
+    names = []
+    if m.get("delta_doc_stats_dir"):
+        names.append(m["delta_doc_stats_dir"])
+    names.append("delta_doc_stats")
+    out = []
+    for n in dict.fromkeys(names):
+        p = os.path.join(out_dir, n)
+        if os.path.exists(p):
+            out.append(p)
+    return out
+
+
 def delete_epochs_on_disk(out_dir: str) -> list[int]:
     p = os.path.join(out_dir, "delta_deletes")
     if not os.path.exists(p):
@@ -955,13 +978,13 @@ def load_index(spark: SparkSession, out_dir: str,
             f"no manifest.json under {out_dir!r} — not a published index"
         )
     try:
-        docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+        docs = spark.read.parquet(docs_dir_path(out_dir, manifest))
         doc_stats = doc_stats_from_docs(docs)
         # streamed docs' dictionary rows live beside the bulk docs table
-        # (delta_doc_stats/epoch=N, written by apply_delta_batch) — the
-        # doc-stats surface must cover them too after compaction
-        delta_ds = os.path.join(out_dir, "delta_doc_stats")
-        if os.path.exists(delta_ds):
+        # (delta_doc_stats/epoch=N, written by apply_delta_batch; plus
+        # the GC-consolidated dir when one exists) — the doc-stats
+        # surface must cover them too after compaction
+        for delta_ds in delta_doc_stats_dirs(out_dir, manifest):
             extra = spark.read.option("basePath", delta_ds).parquet(delta_ds)
             doc_stats = doc_stats.unionByName(
                 extra.select("doc_id", "url", "doc_len", "bucket")

@@ -48,12 +48,13 @@ def _existing_doc_dict(spark, index_dir: str,
     checkpoint advance)."""
     import os as _os
 
+    from ela_lib_spark.index.build import delta_doc_stats_dirs, docs_dir_path
+
     out = None
-    bulk = _os.path.join(index_dir, "docs")
+    bulk = docs_dir_path(index_dir)
     if _os.path.exists(bulk):
         out = spark.read.parquet(bulk).select("url", "doc_id")
-    delta_ds = _os.path.join(index_dir, "delta_doc_stats")
-    if _os.path.exists(delta_ds):
+    for delta_ds in delta_doc_stats_dirs(index_dir):
         extra = spark.read.option("basePath", delta_ds).parquet(delta_ds)
         if exclude_epoch is not None:
             extra = extra.filter(F.col("epoch") != int(exclude_epoch))
@@ -175,15 +176,16 @@ def _tombstone_decrements(spark, index_dir: str) -> dict[int, tuple[int, int]]:
 
     from ela_lib_spark.index.build import read_tombstones
 
+    from ela_lib_spark.index.build import delta_doc_stats_dirs, docs_dir_path
+
     tomb = read_tombstones(spark, index_dir)
     if tomb is None:
         return {}
     dims = None
-    bulk = os.path.join(index_dir, "docs")
+    bulk = docs_dir_path(index_dir)
     if os.path.exists(bulk):
         dims = spark.read.parquet(bulk).select("doc_id", "bucket", "doc_len")
-    delta_ds = os.path.join(index_dir, "delta_doc_stats")
-    if os.path.exists(delta_ds):
+    for delta_ds in delta_doc_stats_dirs(index_dir):
         extra = (spark.read.option("basePath", delta_ds).parquet(delta_ds)
                  .select("doc_id", "bucket", "doc_len"))
         dims = extra if dims is None else dims.unionByName(extra)
@@ -249,6 +251,221 @@ def _refresh_control_tables(spark, index_dir: str, metrics, snapshot: str,
         "n_docs int64, avg_dl double",
     )
     return int(n_docs), avg_dl
+
+
+def _chunk_gc_fn(deleted, decrements: dict):
+    """mapInPandas kernel for the chunk-store rewrite: decode each
+    posting chunk's streams, drop tombstoned docs, re-encode (delta
+    stream restarts at 0 per chunk — the decoder contract); adjust
+    per-bucket METRICS rows by the tombstone decrements. Pure map —
+    no shuffle; chunks transform independently."""
+    import numpy as np
+    import pandas as pd
+
+    from ela_lib_spark.index.build import METRICS_TERM_ID
+    from ela_lib_spark.index.codecs import (
+        varint_decode,
+        varint_encode_segmented,
+    )
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            is_m = pdf["term_id"].to_numpy() == METRICS_TERM_ID
+            out_parts = []
+            m = pdf[is_m]
+            if len(m):
+                m = m.copy()
+                dn = np.array([decrements.get(int(b), (0, 0))[0]
+                               for b in m["part_id"]], np.int64)
+                dt = np.array([decrements.get(int(b), (0, 0))[1]
+                               for b in m["part_id"]], np.int64)
+                m["n_docs"] = m["n_docs"].to_numpy(np.int64) - dn
+                m["first_doc_id"] = m["first_doc_id"].to_numpy(np.int64) - dt
+                out_parts.append(m)
+            c = pdf[~is_m]
+            if len(c):
+                n = c["n_docs"].to_numpy(np.int64)
+                total = int(n.sum())
+                starts = np.zeros(len(c), np.int64)
+                np.cumsum(n[:-1], out=starts[1:])
+                deltas = varint_decode(b"".join(c["doc_ids"]), total).astype(np.int64)
+                tfs = varint_decode(b"".join(c["tfs"]), total).astype(np.int64)
+                dls = varint_decode(b"".join(c["dls"]), total).astype(np.int64)
+                csum = np.cumsum(deltas)
+                ids = csum - np.repeat(csum[starts] - deltas[starts], n) \
+                    + np.repeat(c["first_doc_id"].to_numpy(np.int64), n)
+                pos = np.searchsorted(deleted, ids)
+                keep = ~((pos < len(deleted))
+                         & (deleted[np.minimum(pos, len(deleted) - 1)] == ids))
+                if keep.all():
+                    out_parts.append(c)
+                else:
+                    new_n = np.add.reduceat(keep.astype(np.int64), starts)
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    live_chunk = new_n > 0
+                    new_starts = np.zeros(len(c), np.int64)
+                    np.cumsum(new_n[:-1], out=new_starts[1:])
+                    nd = np.empty(len(ids), np.int64)
+                    if len(ids):
+                        nd[0] = 0
+                        np.subtract(ids[1:], ids[:-1], out=nd[1:])
+                        nd[new_starts[live_chunk]] = 0
+                    first = np.zeros(len(c), np.int64)
+                    first[live_chunk] = ids[new_starts[live_chunk]]
+                    enc_d = varint_encode_segmented(nd, new_n)
+                    enc_t = varint_encode_segmented(tfs, new_n)
+                    enc_l = varint_encode_segmented(dls, new_n)
+                    cc = pd.DataFrame({
+                        "term_id": c["term_id"].to_numpy(),
+                        "part_id": c["part_id"].to_numpy(),
+                        "shard": c["shard"].to_numpy(),
+                        "doc_ids": enc_d,
+                        "tfs": enc_t,
+                        "dls": enc_l,
+                        "n_docs": new_n,
+                        "first_doc_id": first,
+                    })[live_chunk]
+                    if len(cc):
+                        out_parts.append(cc)
+            for part in out_parts:
+                yield part[["term_id", "part_id", "shard", "doc_ids", "tfs",
+                            "dls", "n_docs", "first_doc_id"]]
+
+    return fn
+
+
+def gc_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dict:
+    """Chunk-store garbage collection — the Lucene segment-rewrite
+    analog and the amortized reclaim path for tombstones and delta
+    fragmentation. One O(chunk store) pass (NO text re-extraction or
+    re-tokenization — 10-50× cheaper than a rebuild at web scale):
+
+    1. rewrite base ∪ delta chunks minus tombstoned postings into a
+       fresh `chunks-g{gen}` dir (pure map: decode→filter→re-encode),
+       metrics rows adjusted per bucket;
+    2. rewrite the doc dictionaries minus tombstones (bulk docs table;
+       delta doc-stats consolidated into one epoch=-1 dir);
+    3. major-merge the clean chunks → fresh postings (stored df is
+       exact again → `df_stale` clears);
+    4. single manifest flip, then delete the old chunk dirs, delta
+       epochs, and the whole delete log.
+
+    After GC the index is indistinguishable from a fresh bulk build of
+    the live corpus (same doc ids — postings reference them, so ids
+    are never remapped)."""
+    import shutil
+
+    from ela_lib_spark.index.build import (
+        METRICS_TERM_ID,
+        chunks_path,
+        collect_tombstones,
+        merge_chunks,
+        new_snapshot_id,
+        read_manifest,
+        write_manifest,
+    )
+    from ela_lib_spark.schemas import POSTING_CHUNKS
+
+    manifest = read_manifest(index_dir)
+    deleted = collect_tombstones(spark, index_dir)
+    decrements = _tombstone_decrements(spark, index_dir) if len(deleted) else {}
+    gen = int(manifest.get("gc_gen", 0)) + 1
+
+    base_chunks = spark.read.parquet(chunks_path(index_dir))
+    delta = read_delta_postings(spark, index_dir)
+    all_chunks = (
+        base_chunks.unionByName(delta.drop("epoch"))
+        if delta is not None else base_chunks
+    )
+
+    # 1. clean chunk store (is_m recomputed after the map)
+    new_chunks_name = f"chunks-g{gen}"
+    cleaned = all_chunks.drop("is_m").mapInPandas(
+        _chunk_gc_fn(deleted, decrements), schema=POSTING_CHUNKS
+    ).withColumn(
+        "is_m", (F.col("term_id") == F.lit(METRICS_TERM_ID)).cast("int")
+    )
+    cleaned.write.mode("overwrite").partitionBy("is_m").parquet(
+        os.path.join(index_dir, new_chunks_name)
+    )
+    chunks = spark.read.parquet(os.path.join(index_dir, new_chunks_name))
+
+    # 2. clean doc dictionaries
+    from ela_lib_spark.index.build import (
+        delta_doc_stats_dirs,
+        docs_dir_path,
+        read_tombstones,
+    )
+
+    tomb = read_tombstones(spark, index_dir)
+    old_docs_dir = docs_dir_path(index_dir, manifest)
+    new_docs_name = f"docs-g{gen}"
+    docs = spark.read.parquet(old_docs_dir)
+    (docs.join(tomb, "doc_id", "left_anti") if tomb is not None else docs) \
+        .write.mode("overwrite").parquet(os.path.join(index_dir, new_docs_name))
+    old_dds_dirs = delta_doc_stats_dirs(index_dir, manifest)
+    new_dds_name = None
+    if old_dds_dirs:
+        new_dds_name = f"delta_doc_stats-g{gen}"
+        dds = None
+        for d in old_dds_dirs:
+            part = (spark.read.option("basePath", d).parquet(d)
+                    .select("doc_id", "url", "doc_len", "bucket"))
+            dds = part if dds is None else dds.unionByName(part)
+        if tomb is not None:
+            dds = dds.join(tomb, "doc_id", "left_anti")
+        dds.withColumn("epoch", F.lit(-1)).write.mode("overwrite") \
+            .partitionBy("epoch").parquet(os.path.join(index_dir, new_dds_name))
+
+    # 3. stats + fresh postings from the clean store (metrics rows were
+    # ALREADY decremented by the rewrite kernel — no double subtraction)
+    metrics = chunks.filter(F.col("term_id") == METRICS_TERM_ID)
+    snapshot = new_snapshot_id("gc")
+    n_docs, avg_dl = _refresh_control_tables(spark, index_dir, metrics,
+                                             snapshot)
+    new_postings_name = f"postings-gc{gen}"
+    merged = merge_chunks(chunks, avg_dl, n_shards, manifest["n_buckets"],
+                          manifest["codec"])
+    merged.write.mode("overwrite").parquet(
+        os.path.join(index_dir, new_postings_name)
+    )
+
+    # 4. commit + cleanup
+    old_dirs = [os.path.join(index_dir, manifest["postings_dir"]),
+                os.path.join(index_dir, manifest["chunks_dir"]),
+                old_docs_dir] + old_dds_dirs + [
+        os.path.join(index_dir, t["postings_dir"])
+        for t in manifest.get("tiers", [])
+    ]
+    manifest.update({
+        "postings_dir": new_postings_name,
+        "chunks_dir": new_chunks_name,
+        "docs_dir": new_docs_name,
+        "delta_doc_stats_dir": new_dds_name,
+        "tiers": [],
+        "base_epochs": [],
+        "delete_epochs": [],
+        "df_stale": False,
+        "gc_gen": gen,
+        "n_docs": n_docs,
+        "avg_dl": avg_dl,
+        "avg_dl_at_merge": avg_dl,
+        "snapshot_id": snapshot,
+    })
+    write_manifest(index_dir, manifest)
+    for d in old_dirs:
+        if os.path.abspath(d) not in (
+            os.path.abspath(os.path.join(index_dir, new_postings_name)),
+            os.path.abspath(os.path.join(index_dir, new_chunks_name)),
+            os.path.abspath(os.path.join(index_dir, new_docs_name)),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "delta_chunks"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "delta_deletes"), ignore_errors=True)
+    return {"mode": "gc", "n_docs": n_docs, "purged": int(len(deleted)),
+            "chunks_dir": new_chunks_name}
 
 
 def compact_index(

@@ -284,3 +284,85 @@ def test_upsert_delete_tombstones_and_purge(spark, tmp_root):
         got = [(r.doc_id, r.score)
                for r in wand_topk(idx3, terms, mode, k=10).collect()]
         assert got == want, (terms, mode)
+
+
+def test_gc_index_reclaims_tombstones_and_deltas(spark, tmp_root):
+    """gc_index (r3): one chunk-store rewrite purges tombstoned
+    postings, consolidates delta epochs and doc dictionaries, clears
+    the delete log and df_stale, and leaves the index equivalent to a
+    fresh bulk build of the live corpus (same doc ids). Maintenance
+    continues normally afterwards."""
+    from ela_lib_spark.index.build import collect_tombstones
+    from ela_lib_spark.streaming.incremental import gc_index
+
+    idx_dir = os.path.join(tmp_root, "gc_idx")
+    pages = synth_pages_df(spark, 400).cache()
+    base = pages.limit(300).cache()
+    extra = pages.subtract(base).cache()
+
+    build_index(spark, base, idx_dir, n_buckets=4, n_shards=2, use_html=True)
+    changed = base.limit(40).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzgcupdated"))
+    )
+    new40 = extra.limit(40)
+    apply_delta_batch(changed.unionByName(new40), 0, idx_dir,
+                      n_buckets=4, mode="upsert")
+    apply_delta_batch(new40.limit(20).select("url"), 1, idx_dir,
+                      n_buckets=4, mode="delete")
+    compact_index(spark, idx_dir, n_shards=2)  # minor, pre-GC state
+    assert len(collect_tombstones(spark, idx_dir)) == 60
+
+    res = gc_index(spark, idx_dir, n_shards=2)
+    assert res["mode"] == "gc" and res["purged"] == 60
+    assert res["n_docs"] == 320  # 300 - 40 + 80 - 20
+
+    assert not os.path.exists(os.path.join(idx_dir, "delta_chunks"))
+    assert not os.path.exists(os.path.join(idx_dir, "delta_deletes"))
+
+    idx = load_index(spark, idx_dir)
+    m = idx["manifest"]
+    assert m["n_docs"] == 320 and m["df_stale"] is False
+    assert m["delete_epochs"] == [] and m["tiers"] == []
+    assert len(idx["deleted_ids"]) == 0
+    assert idx["doc_stats"].count() == 320
+    assert idx["corpus_stats"].first().n_docs == 320
+
+    # ground truth over the live corpus — ids unchanged by GC
+    old_ids = set()  # recompute which base ids were replaced
+    replaced_urls = {r.url for r in changed.select("url").collect()}
+    toks = {}
+    for r in (ids_with_tokens(base, 4, use_html=True)
+              .select("url", "doc_id", "tokens").collect()):
+        if r.url not in replaced_urls:
+            toks[r.doc_id] = list(r.tokens)
+        else:
+            old_ids.add(r.doc_id)
+    dead_urls = {r.url for r in new40.limit(20).select("url").collect()}
+    off = DELTA_BUCKET_BASE
+    for r in (
+        ids_with_tokens(changed.unionByName(new40), 4)
+        .withColumn("doc_id", F.col("doc_id") + (off << DOC_BITS))
+        .select("url", "doc_id", "tokens").collect()
+    ):
+        if r.url not in dead_urls:
+            toks[r.doc_id] = list(r.tokens)
+    assert len(toks) == 320
+
+    for terms, mode in ([["term0000"], "OR"], [["zzgcupdated"], "OR"],
+                        [["term0002", "term0045"], "AND"]):
+        want = brute_topk(toks, terms, mode, k=10, n_docs=m["n_docs"],
+                          avg_dl=m["avg_dl"])
+        got = [(r.doc_id, r.score)
+               for r in wand_topk(idx, terms, mode, k=10).collect()]
+        assert got == want, (terms, mode)
+    assert not ({r.doc_id for r in
+                 wand_topk(idx, ["term0000"], "OR", 320).collect()} & old_ids)
+
+    # maintenance continues after GC: a fresh upsert epoch + compact
+    next20 = extra.subtract(new40).limit(20)
+    apply_delta_batch(next20, 5, idx_dir, n_buckets=4, mode="upsert")
+    res2 = compact_index(spark, idx_dir, n_shards=2)
+    assert res2["mode"] == "minor" and res2["n_docs"] == 340
+    idx2 = load_index(spark, idx_dir)
+    assert idx2["doc_stats"].count() == 340
+    assert wand_topk(idx2, ["term0000"], "OR", 10).count() == 10
