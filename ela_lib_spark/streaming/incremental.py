@@ -474,6 +474,7 @@ def compact_index(
     n_shards: int = 8,
     mode: str = "auto",
     major_after_tiers: int = 4,
+    gc_after_deleted_frac: float = 0.25,
 ) -> dict:
     """Tiered (Lucene/LSM-style) compaction — per-compaction IO is
     proportional to the DELTA, never the base index (VERDICT r2 #2).
@@ -530,6 +531,16 @@ def compact_index(
     new_epochs = [e for e in epochs if e not in covered]
 
     if mode == "auto":
+        # size/count-tiered triggers: escalate to GC once tombstones
+        # exceed gc_after_deleted_frac of the live corpus (the
+        # LSM/Lucene reclaim policy), to major once tiers pile up
+        n_live = int(manifest.get("n_docs", 0)) or 1
+        from ela_lib_spark.index.build import read_tombstones as _rt
+
+        tomb = _rt(spark, index_dir)
+        n_tomb = tomb.distinct().count() if tomb is not None else 0
+        if n_tomb > gc_after_deleted_frac * n_live:
+            return gc_index(spark, index_dir, n_shards=n_shards)
         pending_tiers = len(tiers) + (1 if new_epochs else 0)
         mode = "major" if pending_tiers > major_after_tiers else "minor"
     if mode == "minor" and not new_epochs:

@@ -366,3 +366,22 @@ def test_gc_index_reclaims_tombstones_and_deltas(spark, tmp_root):
     idx2 = load_index(spark, idx_dir)
     assert idx2["doc_stats"].count() == 340
     assert wand_topk(idx2, ["term0000"], "OR", 10).count() == 10
+
+
+def test_compact_auto_escalates_to_gc(spark, tmp_root):
+    """auto mode runs GC (not a tier merge) once tombstones exceed the
+    configured fraction of the live corpus."""
+    from ela_lib_spark.streaming.incremental import gc_index  # noqa: F401
+
+    idx_dir = os.path.join(tmp_root, "autogc_idx")
+    pages = synth_pages_df(spark, 200).cache()
+    build_index(spark, pages, idx_dir, n_buckets=4, n_shards=2)
+    # delete 80/200 urls (40% > default 25% threshold)
+    apply_delta_batch(pages.limit(80).select("url"), 0, idx_dir,
+                      n_buckets=4, mode="delete")
+    res = compact_index(spark, idx_dir, n_shards=2)  # auto
+    assert res["mode"] == "gc" and res["purged"] == 80
+    idx = load_index(spark, idx_dir)
+    assert idx["manifest"]["n_docs"] == 120
+    assert len(idx["deleted_ids"]) == 0
+    assert wand_topk(idx, ["term0000"], "OR", 200).count() <= 120
