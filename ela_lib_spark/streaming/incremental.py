@@ -543,7 +543,14 @@ def compact_index(
             return gc_index(spark, index_dir, n_shards=n_shards)
         pending_tiers = len(tiers) + (1 if new_epochs else 0)
         mode = "major" if pending_tiers > major_after_tiers else "minor"
-    if mode == "minor" and not new_epochs:
+    from ela_lib_spark.index.build import (
+        delete_epochs_on_disk as _deod,
+    )
+
+    new_delete_epochs = bool(
+        set(_deod(index_dir)) - set(manifest.get("delete_epochs", []))
+    )
+    if mode == "minor" and not new_epochs and not new_delete_epochs:
         return {"compacted_epochs": 0, "mode": "minor"}
 
     base_chunks = spark.read.parquet(chunks_path(index_dir))
@@ -572,19 +579,27 @@ def compact_index(
     manifest["delete_epochs"] = delete_epochs_on_disk(index_dir)
 
     if mode == "minor":
-        gen = int(manifest.get("tier_gen", 0)) + 1
-        tier_name = f"postings-t{gen}"
-        tier_chunks = delta.filter(F2.col("epoch").isin(new_epochs)).drop("epoch")
-        merged = merge_chunks(tier_chunks, avg_dl, n_shards,
-                              manifest["n_buckets"], manifest["codec"],
-                              deleted=deleted if len(deleted) else None)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(index_dir, tier_name)
-        )
-        manifest["tiers"] = tiers + [
-            {"postings_dir": tier_name, "epochs": new_epochs, "avg_dl": avg_dl}
-        ]
-        manifest["tier_gen"] = gen
+        if new_epochs:  # merge the uncovered delta epochs into a tier
+            gen = int(manifest.get("tier_gen", 0)) + 1
+            tier_name = f"postings-t{gen}"
+            tier_chunks = delta.filter(
+                F2.col("epoch").isin(new_epochs)
+            ).drop("epoch")
+            merged = merge_chunks(tier_chunks, avg_dl, n_shards,
+                                  manifest["n_buckets"], manifest["codec"],
+                                  deleted=deleted if len(deleted) else None)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(index_dir, tier_name)
+            )
+            manifest["tiers"] = tiers + [
+                {"postings_dir": tier_name, "epochs": new_epochs,
+                 "avg_dl": avg_dl}
+            ]
+            manifest["tier_gen"] = gen
+        # else: delete-only epochs arrived — a stats-only publish (the
+        # refreshed corpus stats + delete-epoch accounting) with no
+        # postings change; the query-side tombstone filter already
+        # hides the docs, this records the shrunken live stats
         manifest["n_docs"] = n_docs
         manifest["avg_dl"] = avg_dl
         manifest["snapshot_id"] = snapshot
@@ -592,7 +607,7 @@ def compact_index(
         return {
             "compacted_epochs": len(new_epochs),
             "mode": "minor",
-            "tier": tier_name,
+            "tier": manifest["tiers"][-1]["postings_dir"] if new_epochs else None,
             "n_docs": n_docs,
         }
 

@@ -385,3 +385,25 @@ def test_compact_auto_escalates_to_gc(spark, tmp_root):
     assert idx["manifest"]["n_docs"] == 120
     assert len(idx["deleted_ids"]) == 0
     assert wand_topk(idx, ["term0000"], "OR", 200).count() <= 120
+
+
+def test_delete_only_epoch_refreshes_stats(spark, tmp_root):
+    """A delete-only workload (no new chunk epochs) must still publish
+    refreshed live stats at compaction — r3 self-review fix: the
+    minor-mode no-op early return previously skipped it."""
+    idx_dir = os.path.join(tmp_root, "delonly_idx")
+    pages = synth_pages_df(spark, 200).cache()
+    build_index(spark, pages, idx_dir, n_buckets=4, n_shards=2)
+    apply_delta_batch(pages.limit(30).select("url"), 0, idx_dir,
+                      n_buckets=4, mode="delete")
+    res = compact_index(spark, idx_dir, n_shards=2, mode="minor")
+    assert res["mode"] == "minor" and res["compacted_epochs"] == 0
+    idx = load_index(spark, idx_dir)
+    assert idx["manifest"]["n_docs"] == 170
+    assert idx["corpus_stats"].first().n_docs == 170
+    assert idx["manifest"]["df_stale"] is True
+    assert idx["manifest"]["delete_epochs"] == [0]
+    # second minor with nothing new: true no-op
+    assert compact_index(spark, idx_dir, n_shards=2, mode="minor") == {
+        "compacted_epochs": 0, "mode": "minor"
+    }
