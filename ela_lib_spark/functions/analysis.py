@@ -153,10 +153,13 @@ def _rolling_hashes_u64(h: np.ndarray, window: int,
         return np.zeros(0, np.uint64)
     powers = np.empty(window, np.uint64)
     powers[-1] = 1
-    for i in range(window - 2, -1, -1):
-        powers[i] = powers[i + 1] * np.uint64(base)  # wraps mod 2^64
-    vals = np.lib.stride_tricks.sliding_window_view(h.astype(np.uint64), window)
-    return (vals * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+        for i in range(window - 2, -1, -1):
+            powers[i] = powers[i + 1] * np.uint64(base)
+        vals = np.lib.stride_tricks.sliding_window_view(
+            h.astype(np.uint64), window
+        )
+        return (vals * powers[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 def _winnow_one(h: np.ndarray, k: int, w: int) -> np.ndarray:
