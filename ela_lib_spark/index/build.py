@@ -823,8 +823,12 @@ def build_index(
         docs_partitions = max(3 * par, 48)
 
     # job 1: the docs table (skip if resuming and committed — ids are
-    # (bucket, url)-deterministic; _SUCCESS guards a crashed write)
-    docs_dir = os.path.join(out_dir, "docs")
+    # (bucket, url)-deterministic; _SUCCESS guards a crashed write).
+    # Resume resolves the dir through the manifest: a chunk-store GC
+    # renames it (docs-g{gen}) — resuming must not rebuild a docs
+    # table that already exists under the manifest pointer.
+    docs_dir = (docs_dir_path(out_dir) if resume
+                else os.path.join(out_dir, "docs"))
     _t = time.monotonic()
     sc.setJobDescription("build:docs")
     if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
@@ -935,6 +939,7 @@ def build_index(
         "extractor_version": 1,
         "postings_dir": "postings",
         "chunks_dir": "chunks",
+        "docs_dir": os.path.basename(docs_dir),
         "snapshot_id": snapshot,
         "delete_epochs": delete_epochs_on_disk(out_dir),
     }
