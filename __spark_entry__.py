@@ -27,6 +27,7 @@ from ela_lib_spark.functions.text import tokenize_col
 _TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 BM25_TERMS = ["merge", "spark"]
+MSM_TERMS = ["merge", "spark", "hash"]  # m-of-n query (min_match=2)
 MATCH_AND_TERMS = ["vector", "hash"]
 MATCH_OR_TERMS = ["window", "sort"]
 
@@ -116,7 +117,7 @@ def _flat_corpus(spark, sf_dir):
     return _FLAT_CACHE[key]
 
 
-def _bm25_flat_df(spark, sf_dir, terms, mode="OR", k=10):
+def _bm25_flat_df(spark, sf_dir, terms, mode="OR", k=10, min_match=None):
     from ela_lib_spark.query.bm25 import bm25_topk_flat
 
     postings, dl, n_docs, avg_dl = _flat_corpus(spark, sf_dir)
@@ -124,12 +125,18 @@ def _bm25_flat_df(spark, sf_dir, terms, mode="OR", k=10):
     # surface (WAND over the compressed index is the 100-TB path, and
     # never materializes a doc-stats join at all)
     top = bm25_topk_flat(postings, F.broadcast(dl), n_docs, avg_dl, terms,
-                         mode, k)
+                         mode, k, min_match=min_match)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
 def q_bm25_flat(spark, sf_dir):
     return _bm25_flat_df(spark, sf_dir, BM25_TERMS, "OR", 10)
+
+
+def q_bm25_msm(spark, sf_dir):
+    """m-of-n ranked retrieval: >= 2 of 3 query terms must match (the
+    original WAND formulation generalizing OR/AND)."""
+    return _bm25_flat_df(spark, sf_dir, MSM_TERMS, "OR", 10, min_match=2)
 
 
 _WAND_CACHE: dict = {}
@@ -480,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": q_token_stats,
         "q_term_df": q_term_df,
         "q_bm25_flat": q_bm25_flat,
+        "q_bm25_msm": q_bm25_msm,
         "q_bm25_wand": q_bm25_wand,
         "q_match_and": q_match_and,
         "q_match_or": q_match_or,
@@ -517,7 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------- oracle SQL
 
-_BM25_SQL = f"""
+def _bm25_sql(terms: list[str], k: int = 10, min_match: int = 1) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = f"HAVING count(*) >= {min_match}" if min_match > 1 else ""
+    return f"""
 WITH toks AS (
   SELECT doc_id, {_TOK_SQL} AS t FROM documents
 ), stats AS (
@@ -525,7 +536,7 @@ WITH toks AS (
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM (
     SELECT doc_id, unnest(t) AS term FROM toks
-  ) WHERE term IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}')
+  ) WHERE term IN ({in_list})
   GROUP BY doc_id, term
 ), dfreq AS (
   SELECT term, count(*) AS df FROM tf GROUP BY term
@@ -543,13 +554,17 @@ JOIN dfreq USING (term)
 JOIN dl ON tf.doc_id = dl.doc_id
 CROSS JOIN stats
 GROUP BY tf.doc_id
+{having}
 ORDER BY sum(
          ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
          * {BM25_K1 + 1.0} * tf.tf
          / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avg_dl))
        ) DESC, tf.doc_id ASC
-LIMIT 10
+LIMIT {k}
 """
+
+
+_BM25_SQL = _bm25_sql(BM25_TERMS)
 
 _DIFF_SQL_BODY = """
 WITH src AS (
@@ -776,6 +791,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS term FROM documents
             ) GROUP BY term""",
         "q_bm25_flat": _BM25_SQL,
+        "q_bm25_msm": _bm25_sql(MSM_TERMS, min_match=2),
         "q_bm25_wand": _BM25_SQL,
         "q_match_and": f"""
             SELECT doc_id FROM (

@@ -25,12 +25,14 @@ def brute_topk(
     k: int = 10,
     n_docs: int | None = None,
     avg_dl: float | None = None,
+    min_match: int | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k [(doc_id, score)] with ties broken by doc_id asc.
 
     Pass the engine's manifest n_docs/avg_dl so corpus constants are
-    bit-identical to the indexed values.
-    """
+    bit-identical to the indexed values. `min_match=m` requires ≥ m
+    distinct query terms per doc (OR = 1, AND = all — m generalizes
+    both, the original WAND formulation)."""
     if n_docs is None:
         n_docs = len(doc_tokens)
     if avg_dl is None:
@@ -56,8 +58,9 @@ def brute_topk(
         for d, c in zip(ids, contrib):
             score[d] = score.get(d, 0.0) + float(c)
             cnt[d] = cnt.get(d, 0) + 1
-    if mode.upper() == "AND":
-        need = len(terms_sorted)
-        score = {d: s for d, s in score.items() if cnt[d] == need}
+    need = (len(terms_sorted) if mode.upper() == "AND"
+            else max(1, int(min_match or 1)))
+    if need > 1:
+        score = {d: s for d, s in score.items() if cnt[d] >= need}
     ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

@@ -49,9 +49,11 @@ def bm25_topk_flat(
     terms: list[str],
     mode: str = "OR",
     k: int = 10,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 with built-ins only. `postings` must cover the whole
-    corpus (df is derived by counting within the term filter)."""
+    corpus (df is derived by counting within the term filter).
+    `min_match=m` requires ≥ m distinct matched terms per doc."""
     q = postings.filter(F.col("term").isin(terms))
     dfs = q.groupBy("term").agg(F.count("*").alias("df"))
     # dfs has ≤ len(terms) rows — broadcast, no shuffle for this join
@@ -65,8 +67,10 @@ def bm25_topk_flat(
     agg = scored.groupBy("doc_id").agg(
         F.sum("contrib").alias("score"), F.count("*").alias("n_terms")
     )
-    if mode.upper() == "AND":
-        agg = agg.filter(F.col("n_terms") == len(terms))
+    need = (len(set(terms)) if mode.upper() == "AND"
+            else max(1, int(min_match or 1)))
+    if need > 1:
+        agg = agg.filter(F.col("n_terms") >= need)
     return (
         agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -55,7 +55,8 @@ def _compact(ids: np.ndarray, scores: np.ndarray, k: int):
 
 def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
                    avg_dl: float, codec: str, ub_scale: float = 1.0,
-                   deleted: np.ndarray | None = None):
+                   deleted: np.ndarray | None = None,
+                   min_match: int | None = None):
     # Postings are keyed by term_id = xxhash64(term); iteration stays in
     # lexicographic *string* order — rank-identity with the brute oracle
     # depends on the float accumulation order.
@@ -69,12 +70,17 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
     terms_sorted = [spark_xxhash64(t) for t in sorted(set(terms))]
     nt = len(terms_sorted)
     is_and = mode.upper() == "AND"
+    # m-of-n semantics (the original WAND formulation): a doc must
+    # match >= need distinct query terms. OR = 1, AND = nt; min_match
+    # generalizes both. A doc's postings are shard-local, so the count
+    # is exact per shard.
+    need = nt if is_and else max(1, int(min_match or 1))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
         present = set(pdf["term_id"])
-        if is_and and not all(t in present for t in terms_sorted):
+        if need > 1 and sum(t in present for t in terms_sorted) < need:
             return empty
 
         per = {}
@@ -110,7 +116,7 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
                 if i >= 0 and p["last"][i] >= s and p["first"][i] < e:
                     active.append((t, i))
                     ub_sum += float(p["ub"][i])
-            if is_and and len(active) < nt:
+            if len(active) < need:
                 continue
             if not active:
                 continue
@@ -139,8 +145,8 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
                 pos = np.searchsorted(union, ids_t)
                 score[pos] += bm25_contrib(tf_t, dl_t, idf_t, avg_dl)
                 cnt[pos] += 1
-            if is_and:
-                m = cnt == nt
+            if need > 1:
+                m = cnt >= need
                 union, score = union[m], score[m]
             if deleted is not None and len(deleted) and len(union):
                 # tombstone filter INSIDE the shard top-k: a deleted
@@ -280,8 +286,11 @@ def _literal_and_prefilter(index: dict, q: DataFrame, ids: list[int]):
     return out
 
 
-def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> DataFrame:
+def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10,
+              min_match: int | None = None) -> DataFrame:
     """Distributed top-k. `index` is index.build.load_index output.
+    `min_match=m` requires ≥ m distinct query terms per result doc
+    (m-of-n semantics; OR = 1, AND = all).
 
     The term_id filter pushes down to the postings parquet scan (files
     are sorted by term_id → row-group min/max pruning).
@@ -305,6 +314,9 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> D
     Single-tier indexes keep the zero-extra-work fast path."""
     m = index["manifest"]
     ids = [spark_xxhash64(t) for t in sorted(set(terms))]
+    if min_match is not None and min_match > len(ids):
+        spark = index["postings"].sparkSession
+        return spark.createDataFrame([], RESULT_SCHEMA)
     q = index["postings"].filter(F.col("term_id").isin(ids))
     deleted = index.get("deleted_ids")
     if deleted is not None and len(deleted) == 0:
@@ -336,7 +348,7 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10) -> D
             q = and_block_prefilter(q, len(ids))
     shard_tops = q.groupBy("shard").applyInPandas(
         _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"],
-                       ub_scale, deleted),
+                       ub_scale, deleted, min_match),
         schema=RESULT_SCHEMA,
     )
     return shard_tops.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -131,3 +131,26 @@ def test_serving_envelope_prefilter_rank_identical(spark, index, corpus_tokens):
         assert got == want, q["name"]
     # absent term: envelope path short-circuits to an empty frame
     assert wand_topk(served, ["zzz_not_a_term", "term0000"], "AND", 10).count() == 0
+
+
+def test_wand_min_match_rank_identical(spark, index, corpus_tokens):
+    """m-of-n semantics (r3): min_match=m generalizes OR (m=1) and AND
+    (m=n); rank-identical to the brute oracle at every m."""
+    from ela_lib_spark.oracle.brute import brute_topk as _brute
+
+    m = index["manifest"]
+    terms = ["term0000", "term0002", "term0045"]
+    for mm in (1, 2, 3):
+        want = _brute(corpus_tokens, terms, "OR", 10, n_docs=m["n_docs"],
+                      avg_dl=m["avg_dl"], min_match=mm)
+        got = [(r.doc_id, r.score) for r in
+               wand_topk(index, terms, "OR", 10, min_match=mm).collect()]
+        assert got == want, mm
+    # min_match == n coincides with AND
+    got3 = [(r.doc_id, r.score) for r in
+            wand_topk(index, terms, "OR", 10, min_match=3).collect()]
+    got_and = [(r.doc_id, r.score) for r in
+               wand_topk(index, terms, "AND", 10).collect()]
+    assert got3 == got_and
+    # unsatisfiable threshold → empty
+    assert wand_topk(index, terms, "OR", 10, min_match=4).count() == 0
