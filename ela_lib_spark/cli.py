@@ -40,6 +40,8 @@ def main(argv=None, spark=None):
     q.add_argument("terms", nargs="+")
     q.add_argument("--mode", default="OR", choices=["OR", "AND"])
     q.add_argument("-k", type=int, default=10)
+    q.add_argument("--min-match", type=int, default=None,
+                   help="require >= m of the n terms (m-of-n semantics)")
 
     c = sub.add_parser("compare")
     c.add_argument("src")
@@ -168,7 +170,8 @@ def main(argv=None, spark=None):
         from ela_lib_spark.query.wand import wand_topk
 
         idx = load_index(spark, args.index_dir)
-        rows = wand_topk(idx, args.terms, args.mode, args.k).collect()
+        rows = wand_topk(idx, args.terms, args.mode, args.k,
+                         min_match=args.min_match).collect()
         for r in rows:
             print(json.dumps({"doc_id": r.doc_id, "score": r.score}))
     elif args.cmd == "compare":
