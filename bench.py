@@ -541,13 +541,23 @@ def main():
     entrymod._flat_corpus(spark, SF_DIR)
     qs = entrymod.queries()
     for name in HEADLINE:
-        t0 = time.monotonic()
-        n = qs[name](spark, SF_DIR).count()
-        qsecs[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {qsecs[name]}s ({n} rows)", file=sys.stderr)
+        try:
+            t0 = time.monotonic()
+            n = qs[name](spark, SF_DIR).count()
+            qsecs[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {qsecs[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # one query must not kill the JSON line
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+            qsecs[name] = -1.0
 
-    result["minhash_kernel_ab"] = _minhash_kernel_ab(spark)
-    print(f"# minhash kernel A/B: {result['minhash_kernel_ab']}", file=sys.stderr)
+    try:
+        result["minhash_kernel_ab"] = _minhash_kernel_ab(spark)
+        print(f"# minhash kernel A/B: {result['minhash_kernel_ab']}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# minhash A/B FAILED: {e}", file=sys.stderr)
+        result["minhash_kernel_ab"] = {"docs": 0, "r1_perbyte_objdtype_sec": 0,
+                                       "r2_vectorized_sec": 0, "speedup": 0}
 
     # 2. index build at full parallelism (n_buckets >> cores: rank-sort
     # parallelism and resume granularity follow n_buckets; identical at
@@ -631,12 +641,15 @@ def main():
             "phases_hi": best_hi["phases"],
         }
         result["phase_table"] = _phase_table(reps_lo, reps_hi, lo, hi)
-        membw = _membw_curve()
-        result["membw_gbps"] = membw
-        me = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(me, "BENCH.md"), "w") as f:
-            f.write(_bench_md(result, lo, hi, reps_lo, reps_hi, membw))
-        result.pop("phase_table")
+        try:
+            membw = _membw_curve()
+            result["membw_gbps"] = membw
+            me = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(me, "BENCH.md"), "w") as f:
+                f.write(_bench_md(result, lo, hi, reps_lo, reps_hi, membw))
+        except Exception as e:  # report generation must not kill the JSON
+            print(f"# BENCH.md generation FAILED: {e}", file=sys.stderr)
+        result.pop("phase_table", None)
 
     result["metric"] = "index_build_docs_per_sec"
     result["value"] = result["index_build_docs_per_sec"]
