@@ -111,8 +111,28 @@ def apply_delta_batch(
         return
 
     offset = DELTA_BUCKET_BASE + epoch_id * n_buckets
-    if mode == "upsert":  # one version per url per epoch (last-write)
-        batch_df = batch_df.dropDuplicates(["url"])
+    if mode == "upsert":
+        # one version per url per epoch — last-write-wins picked
+        # DETERMINISTICALLY (ADVICE r3: dropDuplicates keeps an
+        # arbitrary row): max warc_ts wins, warc_ts ties broken by
+        # text hash so reruns and repartitionings agree
+        from pyspark.sql import Window
+
+        order = []
+        if "warc_ts" in batch_df.columns:
+            order.append(F.col("warc_ts").desc_nulls_last())
+        if "text" in batch_df.columns:
+            order.append(
+                F.xxhash64(F.coalesce(F.col("text"), F.lit(""))).asc()
+            )
+        if order:
+            w = Window.partitionBy("url").orderBy(*order)
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn")
+            )
+        else:  # keyless schema — intra-batch order is undefined
+            batch_df = batch_df.dropDuplicates(["url"])
     docs = docs_with_term_ids(batch_df, n_buckets)
     docs = docs.withColumn("bucket", (F.col("bucket") + offset).cast("int")).withColumn(
         "doc_id", F.col("doc_id") + (offset << DOC_BITS)
@@ -285,7 +305,13 @@ def _chunk_gc_fn(deleted, decrements: dict):
                 m["first_doc_id"] = m["first_doc_id"].to_numpy(np.int64) - dt
                 out_parts.append(m)
             c = pdf[~is_m]
-            if len(c):
+            if len(c) and (deleted is None or len(deleted) == 0):
+                # nothing tombstoned (e.g. CLI `gc` run purely to
+                # consolidate delta fragmentation): pass chunks through
+                # unchanged — the searchsorted membership test below
+                # would index an empty array (ADVICE r3)
+                out_parts.append(c)
+            elif len(c):
                 n = c["n_docs"].to_numpy(np.int64)
                 total = int(n.sum())
                 starts = np.zeros(len(c), np.int64)
@@ -521,6 +547,15 @@ def compact_index(
         read_manifest,
         write_manifest,
     )
+
+    if mode not in ("auto", "minor", "major", "gc"):
+        # an unrecognized string must not fall through to a (destructive)
+        # major compaction (ADVICE r3)
+        raise ValueError(
+            f"compact_index mode must be auto/minor/major/gc, got {mode!r}"
+        )
+    if mode == "gc":
+        return gc_index(spark, index_dir, n_shards=n_shards)
 
     manifest = read_manifest(index_dir)
     tiers = list(manifest.get("tiers", []))

@@ -407,3 +407,80 @@ def test_delete_only_epoch_refreshes_stats(spark, tmp_root):
     assert compact_index(spark, idx_dir, n_shards=2, mode="minor") == {
         "compacted_epochs": 0, "mode": "minor"
     }
+
+
+def test_gc_index_with_empty_delete_log(spark, tmp_root):
+    """gc_index with ZERO tombstones (ADVICE r3: the chunk-rewrite
+    kernel indexed an empty tombstone array and crashed) — a legitimate
+    run that only consolidates delta fragmentation must pass chunks
+    through unchanged and stay rank-identical."""
+    from ela_lib_spark.streaming.incremental import gc_index
+
+    idx_dir = os.path.join(tmp_root, "gc_empty_idx")
+    pages = synth_pages_df(spark, 300).cache()
+    base = pages.limit(250).cache()
+    extra = pages.subtract(base).cache()
+    build_index(spark, base, idx_dir, n_buckets=4, n_shards=2, use_html=True)
+    apply_delta_batch(extra, 0, idx_dir, n_buckets=4)  # append-only
+
+    res = gc_index(spark, idx_dir, n_shards=2)
+    assert res["purged"] == 0 and res["n_docs"] == 300
+    assert not os.path.exists(os.path.join(idx_dir, "delta_chunks"))
+
+    idx = load_index(spark, idx_dir)
+    toks = {
+        r.doc_id: list(r.tokens)
+        for r in ids_with_tokens(base, 4, use_html=True)
+        .select("doc_id", "tokens").collect()
+    }
+    off = DELTA_BUCKET_BASE
+    for r in (
+        ids_with_tokens(extra, 4)
+        .withColumn("doc_id", F.col("doc_id") + (off << DOC_BITS))
+        .select("doc_id", "tokens").collect()
+    ):
+        toks[r.doc_id] = list(r.tokens)
+    assert len(toks) == 300
+    _check_rank_identity(idx, toks)
+
+
+def test_compact_mode_validation(spark, tmp_root):
+    """Unknown modes raise BEFORE any work; 'gc' delegates to gc_index
+    (ADVICE r3: a typo used to silently run a destructive major)."""
+    import pytest
+
+    idx_dir = os.path.join(tmp_root, "modeval_idx")
+    build_index(spark, synth_pages_df(spark, 100), idx_dir,
+                n_buckets=4, n_shards=2)
+    with pytest.raises(ValueError, match="auto/minor/major/gc"):
+        compact_index(spark, idx_dir, mode="gcc")
+    res = compact_index(spark, idx_dir, n_shards=2, mode="gc")
+    assert res["mode"] == "gc" and res["purged"] == 0
+    assert wand_topk(load_index(spark, idx_dir),
+                     ["term0000"], "OR", 10).count() == 10
+
+
+def test_upsert_intra_batch_last_write_deterministic(spark, tmp_root):
+    """Two versions of one url inside a single upsert micro-batch
+    resolve to the max-warc_ts row regardless of input row order
+    (ADVICE r3: dropDuplicates kept an arbitrary one)."""
+    import datetime
+
+    from ela_lib_spark.schemas import WEB_PAGES
+
+    pages = synth_pages_df(spark, 60).cache()
+    url = pages.select("url").first().url
+    t1 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    t2 = datetime.datetime(2026, 1, 2, 0, 0, 0)
+    older = (url, t1, None, "zzolderver zzolderver", "en")
+    newer = (url, t2, None, "zznewerver zznewerver", "en")
+
+    for tag, rows in (("fwd", [older, newer]), ("rev", [newer, older])):
+        idx_dir = os.path.join(tmp_root, f"upsert_det_{tag}")
+        build_index(spark, pages, idx_dir, n_buckets=4, n_shards=2)
+        batch = spark.createDataFrame(rows, WEB_PAGES).repartition(2)
+        apply_delta_batch(batch, 0, idx_dir, n_buckets=4, mode="upsert")
+        compact_index(spark, idx_dir, n_shards=2)
+        idx = load_index(spark, idx_dir)
+        assert wand_topk(idx, ["zznewerver"], "OR", 10).count() == 1, tag
+        assert wand_topk(idx, ["zzolderver"], "OR", 10).count() == 0, tag
