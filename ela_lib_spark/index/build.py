@@ -642,16 +642,20 @@ def done_buckets(spark: SparkSession, out_dir: str) -> set[int]:
                 .distinct()
                 .collect()
             }
-    led = os.path.join(out_dir, "ledger")
-    if os.path.exists(led):
-        df = _read_if_exists(spark, led)
-        if df is not None:
-            done |= {
-                r.part_id
-                for r in df.filter(F.col("status") == "done")
-                .select("part_id")
-                .collect()
-            }
+    # both the literal dir (pre-manifest crashed builds) and the
+    # manifest-resolved one (compactions version the control tables)
+    for led in dict.fromkeys(
+        (os.path.join(out_dir, "ledger"), ledger_path(out_dir))
+    ):
+        if os.path.exists(led):
+            df = _read_if_exists(spark, led)
+            if df is not None:
+                done |= {
+                    r.part_id
+                    for r in df.filter(F.col("status") == "done")
+                    .select("part_id")
+                    .collect()
+                }
     return done
 
 
@@ -711,7 +715,7 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
             )
         with open(spath, "w") as f:
             json.dump(manifest, f, indent=1)
-        ledger_dir = os.path.join(out_dir, "ledger")
+        ledger_dir = os.path.join(out_dir, manifest.get("ledger_dir") or "ledger")
         if os.path.exists(ledger_dir):
             import shutil
 
@@ -725,6 +729,20 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
 def docs_dir_path(out_dir: str, manifest: dict | None = None) -> str:
     m = manifest if manifest is not None else (read_manifest(out_dir) or {})
     return os.path.join(out_dir, m.get("docs_dir") or "docs")
+
+
+def ledger_path(out_dir: str, manifest: dict | None = None) -> str:
+    """Manifest-resolved ledger dir. Compactions write VERSIONED
+    control tables (ledger-{snapshot}) and flip this pointer with the
+    manifest, so readers can never observe stats that contradict the
+    manifest's snapshot (ADVICE r3 crash-window fix)."""
+    m = manifest if manifest is not None else (read_manifest(out_dir) or {})
+    return os.path.join(out_dir, m.get("ledger_dir") or "ledger")
+
+
+def corpus_stats_path(out_dir: str, manifest: dict | None = None) -> str:
+    m = manifest if manifest is not None else (read_manifest(out_dir) or {})
+    return os.path.join(out_dir, m.get("corpus_stats_dir") or "corpus_stats")
 
 
 def delta_doc_stats_dirs(out_dir: str,
@@ -939,6 +957,8 @@ def build_index(
         "extractor_version": 1,
         "postings_dir": "postings",
         "chunks_dir": "chunks",
+        "ledger_dir": "ledger",
+        "corpus_stats_dir": "corpus_stats",
         "docs_dir": os.path.basename(docs_dir),
         "snapshot_id": snapshot,
         "delete_epochs": delete_epochs_on_disk(out_dir),
@@ -1022,13 +1042,13 @@ def load_index(spark: SparkSession, out_dir: str,
             )
             ledger = spark.read.parquet(
                 snap_ledger if os.path.exists(snap_ledger)
-                else os.path.join(out_dir, "ledger")
+                else ledger_path(out_dir, manifest)
             )
         else:
             corpus_stats = spark.read.parquet(
-                os.path.join(out_dir, "corpus_stats")
+                corpus_stats_path(out_dir, manifest)
             )
-            ledger = spark.read.parquet(os.path.join(out_dir, "ledger"))
+            ledger = spark.read.parquet(ledger_path(out_dir, manifest))
         out = {
             "manifest": manifest,
             "postings": postings,

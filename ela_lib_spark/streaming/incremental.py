@@ -223,10 +223,17 @@ def _tombstone_decrements(spark, index_dir: str) -> dict[int, tuple[int, int]]:
 
 def _refresh_control_tables(spark, index_dir: str, metrics, snapshot: str,
                             decrements: dict | None = None):
-    """Rewrite ledger + corpus_stats from the union of committed metrics
+    """Write ledger + corpus_stats from the union of committed metrics
     rows (base sidecar is partition-pruned; delta epochs are tiny),
-    minus per-bucket tombstone decrements — load_index must never
-    return tables that contradict the manifest."""
+    minus per-bucket tombstone decrements.
+
+    The tables land in VERSIONED dirs (ledger-{snapshot},
+    corpus_stats-{snapshot}); the caller records the returned dir names
+    in the manifest before the os.replace flip, so they become visible
+    atomically WITH the manifest (ADVICE r3: overwriting the live dirs
+    before the postings merge finished left a crash window where
+    load_index saw new stats under the old manifest). Returns
+    (n_docs, avg_dl, ledger_name, corpus_stats_name)."""
     from pyspark.sql import functions as F2
 
     from ela_lib_spark.index.build import _write_small_parquet
@@ -252,8 +259,10 @@ def _refresh_control_tables(spark, index_dir: str, metrics, snapshot: str,
     n_docs = sum(r.n_docs for r in ledger_rows)
     n_tokens = sum(r.n_tokens for r in ledger_rows)
     avg_dl = float(n_tokens) / float(n_docs) if n_docs else 0.0
+    ledger_name = f"ledger-{snapshot}"
+    cs_name = f"corpus_stats-{snapshot}"
     _write_small_parquet(
-        os.path.join(index_dir, "ledger"),
+        os.path.join(index_dir, ledger_name),
         {
             "part_id": [int(r.part_id) for r in ledger_rows],
             "status": ["done"] * len(ledger_rows),
@@ -266,11 +275,26 @@ def _refresh_control_tables(spark, index_dir: str, metrics, snapshot: str,
         "secs double, snapshot_id string",
     )
     _write_small_parquet(
-        os.path.join(index_dir, "corpus_stats"),
+        os.path.join(index_dir, cs_name),
         {"n_docs": [int(n_docs)], "avg_dl": [float(avg_dl)]},
         "n_docs int64, avg_dl double",
     )
-    return int(n_docs), avg_dl
+    return int(n_docs), avg_dl, ledger_name, cs_name
+
+
+def _flip_control_tables(index_dir: str, manifest: dict,
+                         ledger_name: str, cs_name: str) -> list[str]:
+    """Point the (not-yet-written) manifest at the freshly written
+    versioned control tables; return the superseded dirs for
+    POST-commit cleanup."""
+    old = [os.path.join(index_dir, manifest.get("ledger_dir") or "ledger"),
+           os.path.join(index_dir,
+                        manifest.get("corpus_stats_dir") or "corpus_stats")]
+    manifest["ledger_dir"] = ledger_name
+    manifest["corpus_stats_dir"] = cs_name
+    new = {os.path.join(index_dir, ledger_name),
+           os.path.join(index_dir, cs_name)}
+    return [d for d in old if d not in new]
 
 
 def _chunk_gc_fn(deleted, decrements: dict):
@@ -449,8 +473,9 @@ def gc_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dict:
     # ALREADY decremented by the rewrite kernel — no double subtraction)
     metrics = chunks.filter(F.col("term_id") == METRICS_TERM_ID)
     snapshot = new_snapshot_id("gc")
-    n_docs, avg_dl = _refresh_control_tables(spark, index_dir, metrics,
-                                             snapshot)
+    n_docs, avg_dl, led_name, cs_name = _refresh_control_tables(
+        spark, index_dir, metrics, snapshot
+    )
     new_postings_name = f"postings-gc{gen}"
     merged = merge_chunks(chunks, avg_dl, n_shards, manifest["n_buckets"],
                           manifest["codec"])
@@ -465,6 +490,7 @@ def gc_index(spark: SparkSession, index_dir: str, n_shards: int = 8) -> dict:
         os.path.join(index_dir, t["postings_dir"])
         for t in manifest.get("tiers", [])
     ]
+    old_dirs += _flip_control_tables(index_dir, manifest, led_name, cs_name)
     manifest.update({
         "postings_dir": new_postings_name,
         "chunks_dir": new_chunks_name,
@@ -604,8 +630,10 @@ def compact_index(
     deleted = collect_tombstones(spark, index_dir)
     decrements = _tombstone_decrements(spark, index_dir) if len(deleted) else {}
     snapshot = new_snapshot_id("compact")
-    n_docs, avg_dl = _refresh_control_tables(spark, index_dir, metrics,
-                                             snapshot, decrements)
+    n_docs, avg_dl, led_name, cs_name = _refresh_control_tables(
+        spark, index_dir, metrics, snapshot, decrements
+    )
+    old_ctrl = _flip_control_tables(index_dir, manifest, led_name, cs_name)
     if len(deleted):
         # stored per-block df comes from immutable chunk metadata and
         # still counts purged docs — route queries through the live-df
@@ -639,6 +667,10 @@ def compact_index(
         manifest["avg_dl"] = avg_dl
         manifest["snapshot_id"] = snapshot
         write_manifest(index_dir, manifest)
+        import shutil
+
+        for d in old_ctrl:  # post-commit: superseded control tables
+            shutil.rmtree(d, ignore_errors=True)
         return {
             "compacted_epochs": len(new_epochs),
             "mode": "minor",
@@ -673,6 +705,7 @@ def compact_index(
     # it is the merge input for every future major compaction.
     import shutil
 
+    old_dirs += old_ctrl
     for d in old_dirs:
         if os.path.abspath(d) != os.path.abspath(
             os.path.join(index_dir, new_postings_name)

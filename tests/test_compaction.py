@@ -484,3 +484,51 @@ def test_upsert_intra_batch_last_write_deterministic(spark, tmp_root):
         idx = load_index(spark, idx_dir)
         assert wand_topk(idx, ["zznewerver"], "OR", 10).count() == 1, tag
         assert wand_topk(idx, ["zzolderver"], "OR", 10).count() == 0, tag
+
+
+def test_control_tables_flip_with_manifest(spark, tmp_root):
+    """ADVICE r3: control tables are written to VERSIONED dirs and
+    become visible only with the manifest flip. A simulated crash after
+    the new tables land but before the flip leaves load_index on the
+    OLD stats — never a manifest/table contradiction."""
+    from ela_lib_spark.index.build import (
+        METRICS_TERM_ID,
+        chunks_path,
+        read_manifest,
+    )
+    from ela_lib_spark.streaming.incremental import (
+        _refresh_control_tables,
+        read_delta_postings,
+    )
+
+    idx_dir = os.path.join(tmp_root, "ctrlflip_idx")
+    pages = synth_pages_df(spark, 250).cache()
+    base = pages.limit(200).cache()
+    extra = pages.subtract(base).cache()
+    build_index(spark, base, idx_dir, n_buckets=4, n_shards=2)
+    apply_delta_batch(extra, 0, idx_dir, n_buckets=4)
+
+    # simulate the compaction crash window: control tables written,
+    # manifest NOT flipped
+    all_chunks = spark.read.parquet(chunks_path(idx_dir)).unionByName(
+        read_delta_postings(spark, idx_dir).drop("epoch")
+    )
+    metrics = all_chunks.filter(F.col("term_id") == METRICS_TERM_ID)
+    _refresh_control_tables(spark, idx_dir, metrics, "crashed-snap")
+
+    idx = load_index(spark, idx_dir)
+    assert idx["corpus_stats"].first().n_docs == 200  # still the OLD stats
+    assert idx["manifest"]["n_docs"] == 200
+
+    # the real compaction flips manifest + control tables together and
+    # cleans up the superseded dirs
+    res = compact_index(spark, idx_dir, n_shards=2)
+    assert res["n_docs"] == 250
+    m = read_manifest(idx_dir)
+    assert m["ledger_dir"].startswith("ledger-compact-")
+    assert m["corpus_stats_dir"].startswith("corpus_stats-compact-")
+    assert not os.path.exists(os.path.join(idx_dir, "ledger"))
+    assert not os.path.exists(os.path.join(idx_dir, "corpus_stats"))
+    idx2 = load_index(spark, idx_dir)
+    assert idx2["corpus_stats"].first().n_docs == 250
+    assert idx2["ledger"].count() > 0
