@@ -1057,6 +1057,11 @@ def load_index(spark: SparkSession, out_dir: str,
             "corpus_stats": corpus_stats,
             "ledger": ledger,
             "deleted_ids": deleted_ids,
+            # provenance for serving-cache revalidation (query/wand.py):
+            # a pinned serving session compares the live manifest's
+            # snapshot_id against its pin before each query
+            "dir": out_dir,
+            "time_travel": snapshot_id is not None,
         }
     except Exception as e:  # manifest points at missing/unreadable data
         raise IndexCorruptError(

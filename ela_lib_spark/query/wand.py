@@ -245,7 +245,42 @@ def prepare_serving(index: dict) -> dict:
                 (r.shard, r._mn, r._mx)
             )
         index["envelopes_driver"] = by_term
+    # pin the snapshot the cache was built from — wand_topk revalidates
+    # against the live manifest and re-pins on a flip (VERDICT r3 #4)
+    index["serving_snapshot_id"] = index["manifest"].get("snapshot_id")
     return index
+
+
+def _revalidate_serving(index: dict) -> None:
+    """Serving-cache snapshot pinning: `prepare_serving` caches
+    postings + envelopes for ONE manifest snapshot; a compaction/GC
+    under a live serving session flips the manifest (and may delete the
+    superseded postings dirs post-commit), which would leave the pinned
+    cache silently stale — wrong df/tombstones at best, reads of
+    deleted files at worst. Before each query, compare the pinned
+    snapshot_id with the live manifest (a tiny local JSON read; the
+    cluster analog is a catalog / metadata-service lookup) and
+    transparently reload + re-pin on mismatch. Time-traveled loads are
+    intentionally frozen at their snapshot and skip revalidation."""
+    pinned = index.get("serving_snapshot_id")
+    if pinned is None or index.get("time_travel") or not index.get("dir"):
+        return
+    from ela_lib_spark.index.build import load_index, read_manifest
+
+    live = read_manifest(index["dir"]) or {}
+    if live.get("snapshot_id") == pinned:
+        return
+    spark = index["postings"].sparkSession
+    for k in ("postings", "envelopes"):
+        df = index.get(k)
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # cache may already be invalid post-GC
+    index.pop("envelopes_driver", None)
+    index.update(load_index(spark, index["dir"]))
+    prepare_serving(index)
 
 
 def _literal_and_prefilter(index: dict, q: DataFrame, ids: list[int]):
@@ -312,6 +347,7 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10,
     scan — never a full postings pass), and block-max upper bounds are
     scaled by max(1, avg_dl_now/min merge-time avg_dl) to stay sound.
     Single-tier indexes keep the zero-extra-work fast path."""
+    _revalidate_serving(index)
     m = index["manifest"]
     ids = [spark_xxhash64(t) for t in sorted(set(terms))]
     if min_match is not None and min_match > len(ids):

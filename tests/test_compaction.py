@@ -532,3 +532,58 @@ def test_control_tables_flip_with_manifest(spark, tmp_root):
     idx2 = load_index(spark, idx_dir)
     assert idx2["corpus_stats"].first().n_docs == 250
     assert idx2["ledger"].count() > 0
+
+
+def test_serving_cache_revalidates_on_snapshot_flip(spark, tmp_root):
+    """VERDICT r3 #4: a pinned serving session (prepare_serving) must
+    not silently serve a superseded snapshot after a compaction/GC
+    flips the manifest — wand_topk revalidates the pin per query and
+    reloads. GC even deletes the old postings dirs, so without the
+    reload the pinned scan would read deleted files."""
+    from ela_lib_spark.query.wand import prepare_serving
+    from ela_lib_spark.streaming.incremental import gc_index
+
+    idx_dir = os.path.join(tmp_root, "servpin_idx")
+    pages = synth_pages_df(spark, 300).cache()
+    base = pages.limit(250).cache()
+    build_index(spark, base, idx_dir, n_buckets=4, n_shards=2)
+
+    idx = prepare_serving(load_index(spark, idx_dir))
+    assert wand_topk(idx, ["term0000"], "OR", 10).count() == 10
+    assert wand_topk(idx, ["zzflipped"], "OR", 10).count() == 0
+    pinned_before = idx["serving_snapshot_id"]
+
+    # upsert 40 re-crawls with changed text UNDER the live session,
+    # then compact (manifest flip #1)
+    changed = base.limit(40).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzflipped"))
+    )
+    apply_delta_batch(changed, 0, idx_dir, n_buckets=4, mode="upsert")
+    compact_index(spark, idx_dir, n_shards=2)
+
+    assert wand_topk(idx, ["zzflipped"], "OR", 100).count() == 40
+    assert idx["serving_snapshot_id"] != pinned_before
+    assert idx["manifest"]["n_docs"] == 250  # 250 - 40 + 40
+    # AND path (literal envelope prefilter) also serves the new snapshot
+    got = {r.doc_id for r in
+           wand_topk(idx, ["zzflipped", "term0000"], "AND", 100).collect()}
+    old_ids = set(int(x) for x in load_index(spark, idx_dir)["deleted_ids"])
+    assert not (got & old_ids)
+
+    # GC (manifest flip #2, old postings dirs DELETED) — pinned session
+    # keeps answering correctly
+    gc_index(spark, idx_dir, n_shards=2)
+    assert wand_topk(idx, ["zzflipped"], "OR", 100).count() == 40
+    assert wand_topk(idx, ["term0000"], "OR", 10).count() == 10
+
+    # time-traveled serving stays FROZEN at its snapshot: a later flip
+    # must not be picked up
+    gc_snap = load_index(spark, idx_dir)["manifest"]["snapshot_id"]
+    tt = prepare_serving(load_index(spark, idx_dir, snapshot_id=gc_snap))
+    extra = pages.subtract(base).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzpostgc"))
+    )
+    apply_delta_batch(extra, 7, idx_dir, n_buckets=4, mode="upsert")
+    compact_index(spark, idx_dir, n_shards=2)
+    assert wand_topk(idx, ["zzpostgc"], "OR", 100).count() == 50  # live
+    assert wand_topk(tt, ["zzpostgc"], "OR", 100).count() == 0  # frozen
