@@ -100,8 +100,9 @@ def main(argv=None, spark=None):
     )
     co.add_argument("index_dir")
     co.add_argument("--mode", default="auto",
-                    choices=["auto", "minor", "major"])
-    co.add_argument("--n-shards", type=int, default=8)
+                    choices=["auto", "minor", "major", "gc"])
+    co.add_argument("--n-shards", type=int, default=None,
+                    help="default: the manifest's shard count")
 
     g = sub.add_parser(
         "gc",
@@ -109,7 +110,8 @@ def main(argv=None, spark=None):
              "epochs, truncate the delete log (Lucene segment-rewrite analog)",
     )
     g.add_argument("index_dir")
-    g.add_argument("--n-shards", type=int, default=8)
+    g.add_argument("--n-shards", type=int, default=None,
+                   help="default: the manifest's shard count")
 
     args = p.parse_args(argv)
 

@@ -79,6 +79,8 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
+        if len(pdf) == 0:  # cogrouped tombstone path: tombstone-only shard
+            return empty
         present = set(pdf["term_id"])
         if need > 1 and sum(t in present for t in terms_sorted) < need:
             return empty
@@ -172,6 +174,43 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
         return pd.DataFrame({"doc_id": top_ids, "score": top_scores})
 
     return fn
+
+
+def _shard_topk_cogroup_fn(terms: list[str], mode: str, k: int, n_docs: int,
+                           avg_dl: float, codec: str, ub_scale: float = 1.0,
+                           min_match: int | None = None):
+    """Distributed-tombstone variant of the shard kernel: the tombstone
+    set arrives CO-GROUPED by shard (right side of a cogroup) instead
+    of as a closure-captured array, so no process ever holds more than
+    one shard's tombstones (~n_tomb/n_shards ids). This is the
+    >TOMBSTONE_DRIVER_CAP path — the driver never materializes the set
+    (VERDICT r3 #1)."""
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        deleted = (np.unique(right["doc_id"].to_numpy(np.int64))
+                   if len(right) else None)
+        inner = _shard_topk_fn(terms, mode, k, n_docs, avg_dl, codec,
+                               ub_scale, deleted, min_match)
+        return inner(left)
+
+    return fn
+
+
+def tombstones_with_shard(tomb: DataFrame, n_buckets: int,
+                          n_shards: int) -> DataFrame:
+    """Map each tombstoned doc_id to the postings shard that holds its
+    doc's postings: doc_id >> DOC_BITS recovers the bucket/part_id (the
+    id scheme invariant — index/build.py doc-id scheme), and
+    shard = part_id // group mirrors merge_chunks' salt. Requires the
+    index's merges to share one (n_buckets, n_shards) — compact/gc
+    default n_shards from the manifest to keep this true."""
+    from ela_lib_spark.index.build import DOC_BITS
+
+    group = max(1, (n_buckets + n_shards - 1) // n_shards)
+    return tomb.select(
+        "doc_id",
+        (F.shiftright("doc_id", DOC_BITS) / group).cast("int").alias("shard"),
+    )
 
 
 def and_block_prefilter(q: DataFrame, n_terms: int) -> DataFrame:
@@ -382,9 +421,24 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10,
             q = q.filter(cond)
         else:
             q = and_block_prefilter(q, len(ids))
-    shard_tops = q.groupBy("shard").applyInPandas(
-        _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"], m["codec"],
-                       ub_scale, deleted, min_match),
-        schema=RESULT_SCHEMA,
-    )
+    tomb_df = index.get("deleted_df")
+    if tomb_df is not None:
+        # tombstones past TOMBSTONE_DRIVER_CAP: co-group them with the
+        # postings by shard — the set is shuffled (partitioned like the
+        # postings), never collected or closure-shipped
+        tshard = tombstones_with_shard(tomb_df, m["n_buckets"],
+                                       m["n_shards"])
+        shard_tops = q.groupBy("shard").cogroup(
+            tshard.groupBy("shard")
+        ).applyInPandas(
+            _shard_topk_cogroup_fn(terms, mode, k, m["n_docs"], m["avg_dl"],
+                                   m["codec"], ub_scale, min_match),
+            schema=RESULT_SCHEMA,
+        )
+    else:
+        shard_tops = q.groupBy("shard").applyInPandas(
+            _shard_topk_fn(terms, mode, k, m["n_docs"], m["avg_dl"],
+                           m["codec"], ub_scale, deleted, min_match),
+            schema=RESULT_SCHEMA,
+        )
     return shard_tops.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
