@@ -862,9 +862,15 @@ def build_index(
     _t = time.monotonic()
     sc.setJobDescription("build:docs")
     if not (resume and os.path.exists(os.path.join(docs_dir, "_SUCCESS"))):
+        # partitionBy(bucket): bucket = pmod(xxhash64(url), n_buckets),
+        # so any url-keyed probe (upsert/delete reconciliation —
+        # streaming/incremental._existing_doc_dict) directory-prunes to
+        # its urls' buckets instead of scanning the whole dictionary.
+        # Rows inside each bucket file stay url-sorted (the rank
+        # window), preserving the SPIMI stage's doc-ascending contract.
         docs_with_term_ids(
             pages, n_buckets, use_html, num_partitions=docs_partitions
-        ).write.mode("overwrite").parquet(docs_dir)
+        ).write.mode("overwrite").partitionBy("bucket").parquet(docs_dir)
     stage_secs["docs"] = round(time.monotonic() - _t, 2)
     docs = spark.read.parquet(docs_dir)
 

@@ -40,12 +40,23 @@ DELTA_BUCKET_BASE = 1 << 20  # streamed buckets live above bulk buckets
 
 
 def _existing_doc_dict(spark, index_dir: str,
-                       exclude_epoch: int | None = None) -> DataFrame | None:
+                       exclude_epoch: int | None = None,
+                       probe_buckets: list[int] | None = None) -> DataFrame | None:
     """(url, doc_id) over every doc currently known to the index —
     bulk docs table plus prior delta epochs' doc dictionaries.
     `exclude_epoch` keeps a REPLAYED epoch from tombstoning its own
     docs (crash between the epoch's doc-stats commit and the
-    checkpoint advance)."""
+    checkpoint advance).
+
+    `probe_buckets` (VERDICT r3 #2) prunes the BULK dictionary read to
+    the probing batch's url-hash buckets: the docs table is
+    partitionBy(bucket) and bucket = pmod(xxhash64(url), n_buckets),
+    so a small micro-batch touches a strict subset of partitions —
+    O(batch-coverage) IO instead of O(corpus) per batch at 10^12 docs.
+    Delta doc-stats dirs stay unpruned: they hold only recent
+    not-yet-GC'd epochs (O(recent ingest)), and their bucket values are
+    epoch-offset under each epoch's own n_buckets, so the bulk bucket
+    set does not map onto them."""
     import os as _os
 
     from ela_lib_spark.index.build import delta_doc_stats_dirs, docs_dir_path
@@ -53,7 +64,12 @@ def _existing_doc_dict(spark, index_dir: str,
     out = None
     bulk = docs_dir_path(index_dir)
     if _os.path.exists(bulk):
-        out = spark.read.parquet(bulk).select("url", "doc_id")
+        df = spark.read.parquet(bulk)
+        if probe_buckets is not None and "bucket" in df.columns:
+            df = df.filter(
+                F.col("bucket").isin([int(b) for b in probe_buckets])
+            )
+        out = df.select("url", "doc_id")
     for delta_ds in delta_doc_stats_dirs(index_dir):
         extra = spark.read.option("basePath", delta_ds).parquet(delta_ds)
         if exclude_epoch is not None:
@@ -99,7 +115,26 @@ def apply_delta_batch(
     if mode not in ("append", "upsert", "delete"):
         raise ValueError(f"unknown delta mode {mode!r}")
     if mode in ("upsert", "delete"):
-        existing = _existing_doc_dict(spark, index_dir, exclude_epoch=epoch_id)
+        # bucket-pruned probe (VERDICT r3 #2): the batch's urls hash to
+        # a bucket set under the BULK index's n_buckets; collecting the
+        # distinct bucket VALUES is a tiny agg (≤ n_buckets ints), and
+        # the docs read then directory-prunes to those partitions
+        from ela_lib_spark.index.build import bucket_expr, read_manifest
+
+        probe = None
+        man = read_manifest(index_dir) or {}
+        nb = man.get("n_buckets")
+        if nb:
+            vals = sorted(
+                r.b for r in
+                batch_df.select(bucket_expr(int(nb)).alias("b"))
+                .distinct().collect()
+            )
+            if len(vals) < int(nb):
+                probe = vals
+        existing = _existing_doc_dict(spark, index_dir,
+                                      exclude_epoch=epoch_id,
+                                      probe_buckets=probe)
         if existing is not None:
             old = existing.join(
                 batch_df.select("url").distinct(), "url", "left_semi"
@@ -546,7 +581,8 @@ def gc_index(spark: SparkSession, index_dir: str,
     new_docs_name = f"docs-g{gen}"
     docs = spark.read.parquet(old_docs_dir)
     (docs.join(tomb, "doc_id", "left_anti") if tomb is not None else docs) \
-        .write.mode("overwrite").parquet(os.path.join(index_dir, new_docs_name))
+        .write.mode("overwrite").partitionBy("bucket") \
+        .parquet(os.path.join(index_dir, new_docs_name))
     old_dds_dirs = delta_doc_stats_dirs(index_dir, manifest)
     new_dds_name = None
     if old_dds_dirs:
