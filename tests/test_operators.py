@@ -465,3 +465,23 @@ def test_ivf_driver_sample_capped_by_bytes(spark):
     # default budget (256 MB) would hold ~43k dim-768 rows — far below
     # the r2 default of 100k rows (~600 MB), the reviewed risk
     assert (256 << 20) // (8 * dim) < 100_000
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find short-circuit (small graphs) and the
+    iterative min-label propagation must produce identical labels;
+    the cap routes between them."""
+    from ela_lib_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 1)],
+        "a long, b long",
+    )
+    drv = sorted(map(tuple, connected_components(edges).collect()))
+    it = sorted(map(tuple, connected_components(
+        edges, driver_max_edges=0).collect()))  # force iterative
+    over_cap = sorted(map(tuple, connected_components(
+        edges, driver_max_edges=3).collect()))  # 6 edges > cap → iterative
+    assert drv == it == over_cap
+    assert drv == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)]
