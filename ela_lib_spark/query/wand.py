@@ -122,6 +122,12 @@ def _shard_topk_fn(terms: list[str], mode: str, k: int, n_docs: int,
                 continue
             if not active:
                 continue
+            # NOTE on m-of-n bounds (r4, VERDICT r3 #7 considered and
+            # rejected): summing only the top-`need` active ubs is NOT
+            # a sound θ bound — a doc needs ≥ need matches but may
+            # match ALL n active terms, and its score sums every match,
+            # so the achievable maximum is Σ(all active ubs). The full
+            # sum stays.
             if len(top_ids) >= k and ub_sum < theta:
                 continue  # block-max skip: cannot beat current k-th score
 
