@@ -238,11 +238,12 @@ def test_knn_join_uses_stored_buckets(spark, tmp_root):
     assert "_bucket" in plan
 
 
-def test_upsert_probe_partition_pruning(spark, tmp_root):
-    """VERDICT r3 #2: the upsert/delete existing-doc probe reads a
-    STRICT SUBSET of the bucket-partitioned doc dictionary — directory
-    pruning via PartitionFilters, not a full-dictionary scan per
-    micro-batch."""
+def test_upsert_probe_bucket_pushdown(spark, tmp_root):
+    """VERDICT r3 #2: the upsert/delete existing-doc probe must reach
+    the doc dictionary as a PUSHED bucket predicate — row-group min/max
+    stats on the (bucket, url)-sorted files then bound the probe's data
+    IO to the batch's buckets. (Directory partitioning was measured at
+    ~6× build-throughput cost and rejected — see build_index.)"""
     import os
 
     from ela_lib_spark.index.build import build_index
@@ -253,14 +254,28 @@ def test_upsert_probe_partition_pruning(spark, tmp_root):
     pages = synth_pages_df(spark, 300)
     build_index(spark, pages, idx_dir, n_buckets=8, n_shards=4)
     docs_dir = os.path.join(idx_dir, "docs")
-    assert any(e.startswith("bucket=") for e in os.listdir(docs_dir))
 
     probe = _existing_doc_dict(spark, idx_dir, probe_buckets=[1, 5])
     plan = explain_str(probe)
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and "bucket" in pf[0], plan[:2000]
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "In(bucket" in pushed[0], plan[:2000]
+    # column pruning: the probe projects (url, doc_id) — term_ids (the
+    # wide column) must not be read
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "term_ids" not in rs[0], rs
 
-    # pruned read returns exactly the two buckets' rows
+    # pushed read returns exactly the two buckets' rows
     full = spark.read.parquet(docs_dir)
     want = full.filter(F.col("bucket").isin([1, 5])).count()
     assert 0 < probe.count() == want < full.count()
+
+    # row-group prunability precondition: every parquet file is
+    # bucket-ascending (files carry narrow per-row-group bucket ranges)
+    import pyarrow.parquet as pq
+
+    for fn in os.listdir(docs_dir):
+        if fn.endswith(".parquet"):
+            col = pq.read_table(
+                os.path.join(docs_dir, fn), columns=["bucket"]
+            )["bucket"].to_numpy()
+            assert (col[1:] >= col[:-1]).all(), fn
