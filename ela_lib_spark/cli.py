@@ -104,6 +104,14 @@ def main(argv=None, spark=None):
     co.add_argument("--n-shards", type=int, default=None,
                     help="default: the manifest's shard count")
 
+    v = sub.add_parser(
+        "validate",
+        help="index integrity check (manifest/dirs/stats/tombstones; "
+             "--deep decodes every posting block)",
+    )
+    v.add_argument("index_dir")
+    v.add_argument("--deep", action="store_true")
+
     g = sub.add_parser(
         "gc",
         help="chunk-store rewrite: purge tombstones, consolidate delta "
@@ -162,6 +170,15 @@ def main(argv=None, spark=None):
         res = compact_index(spark, args.index_dir, n_shards=args.n_shards,
                             mode=args.mode)
         print(json.dumps(res))
+    elif args.cmd == "validate":
+        from ela_lib_spark.index.validate import validate_index
+
+        res = validate_index(spark, args.index_dir, deep=args.deep)
+        print(json.dumps(res))
+        if not res["ok"]:
+            if owns_session:
+                spark.stop()
+            return 1
     elif args.cmd == "gc":
         from ela_lib_spark.streaming.incremental import gc_index
 

@@ -655,6 +655,14 @@ def gc_index(spark: SparkSession, index_dir: str,
             shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "delta_chunks"), ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "delta_deletes"), ignore_errors=True)
+    # sweep orphaned versioned control tables (a compaction that
+    # crashed between writing them and the manifest flip leaves
+    # ledger-*/corpus_stats-* dirs nothing references — snapshot
+    # archives keep their own copies, so unreferenced = garbage)
+    for e in os.listdir(index_dir):
+        if (e.startswith(("ledger-", "corpus_stats-"))
+                and e not in (led_name, cs_name)):
+            shutil.rmtree(os.path.join(index_dir, e), ignore_errors=True)
     return {"mode": "gc", "n_docs": n_docs, "purged": int(n_tomb),
             "chunks_dir": new_chunks_name}
 
