@@ -425,7 +425,7 @@ def _phase_table(reps_lo: list[dict], reps_hi: list[dict], lo: int, hi: int) -> 
     return hdr + "\n" + "\n".join(rows)
 
 
-def _bench_md(result, lo, hi, reps_lo, reps_hi, membw, details=None) -> str:
+def _bench_md(result, lo, hi, reps_lo, reps_hi, membw) -> str:
     sc = result["scaling"]
     rep_rows = "".join(
         f"| {i} | {a['wall']:.1f} | {b['wall']:.1f} | "
@@ -721,8 +721,7 @@ def main():
             membw = _membw_curve()
             details["membw_gbps"] = membw
             with open(os.path.join(me, "BENCH.md"), "w") as f:
-                f.write(_bench_md(result, lo, hi, reps_lo, reps_hi, membw,
-                                  details))
+                f.write(_bench_md(result, lo, hi, reps_lo, reps_hi, membw))
         except Exception as e:  # report generation must not kill the JSON
             print(f"# BENCH.md generation FAILED: {e}", file=sys.stderr)
         try:

@@ -97,6 +97,15 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
 
 
+def shard_group(n_buckets: int, n_shards: int) -> int:
+    """Buckets per merge shard — THE shared formula behind the salted
+    merge (merge_chunks), the SPIMI chunk granularity (build_index)
+    and the doc_id→shard derivation the distributed tombstone filter
+    uses (query/wand.tombstones_with_shard, gc cogroup). One
+    definition so the mapping can't drift."""
+    return max(1, (n_buckets + n_shards - 1) // n_shards)
+
+
 def doc_id_expr():
     return (
         F.shiftleft(F.col("bucket").cast("long"), DOC_BITS) + F.col("rk") - 1
@@ -583,7 +592,7 @@ def merge_chunks(
     purge set `df_stale` in the manifest and the query path recomputes
     live df per term (query/wand.py — the same cheap branch tiered
     indexes use)."""
-    group = max(1, (n_buckets + n_shards - 1) // n_shards)
+    group = shard_group(n_buckets, n_shards)
     pre = chunks.filter(F.col("term_id") != METRICS_TERM_ID).withColumn(
         "shard", (F.col("part_id") / group).cast("int")
     )
@@ -887,7 +896,7 @@ def build_index(
     _t = time.monotonic()
     sc.setJobDescription("build:chunks")
     # chunk at the merge's shard-group granularity (see chunks_from_docs)
-    group = max(1, (n_buckets + n_shards - 1) // n_shards)
+    group = shard_group(n_buckets, n_shards)
     chunks_out = chunks_from_docs(docs, skip_buckets=done or None,
                                   bucket_group=group)
     if resume and os.path.exists(ch_dir):
@@ -1107,6 +1116,7 @@ def load_index(spark: SparkSession, out_dir: str,
             # snapshot_id against its pin before each query
             "dir": out_dir,
             "time_travel": snapshot_id is not None,
+            "driver_tombstone_cap": driver_tombstone_cap,
         }
     except Exception as e:  # manifest points at missing/unreadable data
         raise IndexCorruptError(

@@ -59,6 +59,10 @@ def validate_index(spark: SparkSession, index_dir: str,
     missing = [k for k in required if k not in manifest]
     _check(checks, "manifest", not missing,
            f"missing keys: {missing}" if missing else "all required keys")
+    if missing:
+        # the remaining checks dereference these keys — report the
+        # corruption instead of crashing on it (review r4)
+        return {"ok": False, "checks": checks}
 
     # 1. referenced dirs exist
     dirs = {
@@ -79,6 +83,10 @@ def validate_index(spark: SparkSession, index_dir: str,
 
     # 2. control tables vs manifest
     cs = spark.read.parquet(dirs["corpus_stats"]).first()
+    if cs is None:  # dir exists but holds zero rows — corrupt table
+        _check(checks, "corpus_stats_vs_manifest", False,
+               "corpus_stats table is empty")
+        return {"ok": False, "checks": checks}
     ok_cs = (int(cs.n_docs) == int(manifest["n_docs"])
              and abs(float(cs.avg_dl) - float(manifest["avg_dl"])) < 1e-6)
     _check(checks, "corpus_stats_vs_manifest", ok_cs,

@@ -202,21 +202,26 @@ def _shard_topk_cogroup_fn(terms: list[str], mode: str, k: int, n_docs: int,
     return fn
 
 
-def tombstones_with_shard(tomb: DataFrame, n_buckets: int,
-                          n_shards: int) -> DataFrame:
+def tombstones_with_shard(tomb: DataFrame, manifest: dict) -> DataFrame:
     """Map each tombstoned doc_id to the postings shard that holds its
-    doc's postings: doc_id >> DOC_BITS recovers the bucket/part_id (the
-    id scheme invariant — index/build.py doc-id scheme), and
-    shard = part_id // group mirrors merge_chunks' salt. Requires the
-    index's merges to share one (n_buckets, n_shards) — compact/gc
-    default n_shards from the manifest to keep this true."""
-    from ela_lib_spark.index.build import DOC_BITS
+    doc's postings, reproducing merge_chunks' assignment EXACTLY:
+    doc_id >> DOC_BITS recovers the bucket (id-scheme invariant), the
+    chunk row carrying it has part_id = its bucket-GROUP's base bucket
+    (bulk chunks; delta epochs chunk at group=1 so part = the offset
+    bucket), and the merge assigns shard = part_id // shard_group.
+    Going through the part granularity keeps the mapping exact even
+    after a re-sharding major compaction where shard_group is not a
+    multiple of the build-time chunk group."""
+    from ela_lib_spark.index.build import DOC_BITS, shard_group
+    from ela_lib_spark.streaming.incremental import DELTA_BUCKET_BASE
 
-    group = max(1, (n_buckets + n_shards - 1) // n_shards)
-    return tomb.select(
-        "doc_id",
-        (F.shiftright("doc_id", DOC_BITS) / group).cast("int").alias("shard"),
-    )
+    g = shard_group(int(manifest["n_buckets"]), int(manifest["n_shards"]))
+    cg = int(manifest.get("chunk_bucket_group") or g)
+    bucket = F.shiftright("doc_id", DOC_BITS)
+    part = F.when(
+        bucket < DELTA_BUCKET_BASE, F.floor(bucket / cg) * cg
+    ).otherwise(bucket)
+    return tomb.select("doc_id", (part / g).cast("int").alias("shard"))
 
 
 def and_block_prefilter(q: DataFrame, n_terms: int) -> DataFrame:
@@ -324,7 +329,10 @@ def _revalidate_serving(index: dict) -> None:
             except Exception:
                 pass  # cache may already be invalid post-GC
     index.pop("envelopes_driver", None)
-    index.update(load_index(spark, index["dir"]))
+    index.update(load_index(
+        spark, index["dir"],
+        driver_tombstone_cap=index.get("driver_tombstone_cap"),
+    ))
     prepare_serving(index)
 
 
@@ -432,8 +440,7 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10,
         # tombstones past TOMBSTONE_DRIVER_CAP: co-group them with the
         # postings by shard — the set is shuffled (partitioned like the
         # postings), never collected or closure-shipped
-        tshard = tombstones_with_shard(tomb_df, m["n_buckets"],
-                                       m["n_shards"])
+        tshard = tombstones_with_shard(tomb_df, m)
         shard_tops = q.groupBy("shard").cogroup(
             tshard.groupBy("shard")
         ).applyInPandas(

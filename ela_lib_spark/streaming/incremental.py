@@ -353,75 +353,74 @@ def _gc_transform(pdf, deleted, decrements: dict) -> list:
         varint_encode_segmented,
     )
 
-    if True:  # preserve kernel-body indentation (diff hygiene)
-            is_m = pdf["term_id"].to_numpy() == METRICS_TERM_ID
-            out_parts = []
-            m = pdf[is_m]
-            if len(m):
-                m = m.copy()
-                dn = np.array([decrements.get(int(b), (0, 0))[0]
-                               for b in m["part_id"]], np.int64)
-                dt = np.array([decrements.get(int(b), (0, 0))[1]
-                               for b in m["part_id"]], np.int64)
-                m["n_docs"] = m["n_docs"].to_numpy(np.int64) - dn
-                m["first_doc_id"] = m["first_doc_id"].to_numpy(np.int64) - dt
-                out_parts.append(m)
-            c = pdf[~is_m]
-            if len(c) and (deleted is None or len(deleted) == 0):
-                # nothing tombstoned (e.g. CLI `gc` run purely to
-                # consolidate delta fragmentation): pass chunks through
-                # unchanged — the searchsorted membership test below
-                # would index an empty array (ADVICE r3)
-                out_parts.append(c)
-            elif len(c):
-                n = c["n_docs"].to_numpy(np.int64)
-                total = int(n.sum())
-                starts = np.zeros(len(c), np.int64)
-                np.cumsum(n[:-1], out=starts[1:])
-                deltas = varint_decode(b"".join(c["doc_ids"]), total).astype(np.int64)
-                tfs = varint_decode(b"".join(c["tfs"]), total).astype(np.int64)
-                dls = varint_decode(b"".join(c["dls"]), total).astype(np.int64)
-                csum = np.cumsum(deltas)
-                ids = csum - np.repeat(csum[starts] - deltas[starts], n) \
-                    + np.repeat(c["first_doc_id"].to_numpy(np.int64), n)
-                pos = np.searchsorted(deleted, ids)
-                keep = ~((pos < len(deleted))
-                         & (deleted[np.minimum(pos, len(deleted) - 1)] == ids))
-                if keep.all():
-                    out_parts.append(c)
-                else:
-                    new_n = np.add.reduceat(keep.astype(np.int64), starts)
-                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                    live_chunk = new_n > 0
-                    new_starts = np.zeros(len(c), np.int64)
-                    np.cumsum(new_n[:-1], out=new_starts[1:])
-                    nd = np.empty(len(ids), np.int64)
-                    if len(ids):
-                        nd[0] = 0
-                        np.subtract(ids[1:], ids[:-1], out=nd[1:])
-                        nd[new_starts[live_chunk]] = 0
-                    first = np.zeros(len(c), np.int64)
-                    first[live_chunk] = ids[new_starts[live_chunk]]
-                    enc_d = varint_encode_segmented(nd, new_n)
-                    enc_t = varint_encode_segmented(tfs, new_n)
-                    enc_l = varint_encode_segmented(dls, new_n)
-                    cc = pd.DataFrame({
-                        "term_id": c["term_id"].to_numpy(),
-                        "part_id": c["part_id"].to_numpy(),
-                        "shard": c["shard"].to_numpy(),
-                        "doc_ids": enc_d,
-                        "tfs": enc_t,
-                        "dls": enc_l,
-                        "n_docs": new_n,
-                        "first_doc_id": first,
-                    })[live_chunk]
-                    if len(cc):
-                        out_parts.append(cc)
-            return [
-                part[["term_id", "part_id", "shard", "doc_ids", "tfs",
-                      "dls", "n_docs", "first_doc_id"]]
-                for part in out_parts
-            ]
+    is_m = pdf["term_id"].to_numpy() == METRICS_TERM_ID
+    out_parts = []
+    m = pdf[is_m]
+    if len(m):
+        m = m.copy()
+        dn = np.array([decrements.get(int(b), (0, 0))[0]
+                       for b in m["part_id"]], np.int64)
+        dt = np.array([decrements.get(int(b), (0, 0))[1]
+                       for b in m["part_id"]], np.int64)
+        m["n_docs"] = m["n_docs"].to_numpy(np.int64) - dn
+        m["first_doc_id"] = m["first_doc_id"].to_numpy(np.int64) - dt
+        out_parts.append(m)
+    c = pdf[~is_m]
+    if len(c) and (deleted is None or len(deleted) == 0):
+        # nothing tombstoned (e.g. CLI `gc` run purely to
+        # consolidate delta fragmentation): pass chunks through
+        # unchanged — the searchsorted membership test below
+        # would index an empty array (ADVICE r3)
+        out_parts.append(c)
+    elif len(c):
+        n = c["n_docs"].to_numpy(np.int64)
+        total = int(n.sum())
+        starts = np.zeros(len(c), np.int64)
+        np.cumsum(n[:-1], out=starts[1:])
+        deltas = varint_decode(b"".join(c["doc_ids"]), total).astype(np.int64)
+        tfs = varint_decode(b"".join(c["tfs"]), total).astype(np.int64)
+        dls = varint_decode(b"".join(c["dls"]), total).astype(np.int64)
+        csum = np.cumsum(deltas)
+        ids = csum - np.repeat(csum[starts] - deltas[starts], n) \
+            + np.repeat(c["first_doc_id"].to_numpy(np.int64), n)
+        pos = np.searchsorted(deleted, ids)
+        keep = ~((pos < len(deleted))
+                 & (deleted[np.minimum(pos, len(deleted) - 1)] == ids))
+        if keep.all():
+            out_parts.append(c)
+        else:
+            new_n = np.add.reduceat(keep.astype(np.int64), starts)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            live_chunk = new_n > 0
+            new_starts = np.zeros(len(c), np.int64)
+            np.cumsum(new_n[:-1], out=new_starts[1:])
+            nd = np.empty(len(ids), np.int64)
+            if len(ids):
+                nd[0] = 0
+                np.subtract(ids[1:], ids[:-1], out=nd[1:])
+                nd[new_starts[live_chunk]] = 0
+            first = np.zeros(len(c), np.int64)
+            first[live_chunk] = ids[new_starts[live_chunk]]
+            enc_d = varint_encode_segmented(nd, new_n)
+            enc_t = varint_encode_segmented(tfs, new_n)
+            enc_l = varint_encode_segmented(dls, new_n)
+            cc = pd.DataFrame({
+                "term_id": c["term_id"].to_numpy(),
+                "part_id": c["part_id"].to_numpy(),
+                "shard": c["shard"].to_numpy(),
+                "doc_ids": enc_d,
+                "tfs": enc_t,
+                "dls": enc_l,
+                "n_docs": new_n,
+                "first_doc_id": first,
+            })[live_chunk]
+            if len(cc):
+                out_parts.append(cc)
+    return [
+        part[["term_id", "part_id", "shard", "doc_ids", "tfs",
+              "dls", "n_docs", "first_doc_id"]]
+        for part in out_parts
+    ]
 
 
 def _chunk_gc_fn(deleted, decrements: dict):
@@ -549,9 +548,10 @@ def gc_index(spark: SparkSession, index_dir: str,
         # tombstone → chunk-row part_id: bulk chunk rows carry their
         # bucket-GROUP's base bucket (index/build.py _spimi_fn); delta
         # epochs chunk at group=1, so their part IS the offset bucket
-        cg = int(manifest.get("chunk_bucket_group") or max(
-            1, (int(manifest["n_buckets"]) + n_shards - 1) // n_shards
-        ))
+        from ela_lib_spark.index.build import shard_group
+
+        cg = int(manifest.get("chunk_bucket_group")
+                 or shard_group(int(manifest["n_buckets"]), n_shards))
         bucket = F.shiftright("doc_id", DOC_BITS)
         right = tomb.select(
             "doc_id",
@@ -745,6 +745,17 @@ def compact_index(
         # across all merges keeps the doc_id→shard formula exact for
         # the distributed tombstone filter (query/wand.py)
         n_shards = int(manifest.get("n_shards", 8))
+    elif n_shards != int(manifest.get("n_shards", n_shards)):
+        # re-sharding is only coherent when EVERYTHING re-merges: a
+        # minor tier at a different n_shards than the base would break
+        # the single doc_id→shard mapping the distributed tombstone
+        # filter derives from the manifest (review r4)
+        if mode != "major":
+            raise ValueError(
+                f"n_shards={n_shards} differs from the index's "
+                f"{manifest.get('n_shards')} — re-sharding requires "
+                "mode='major' (or gc), which re-merges all postings"
+            )
     tiers = list(manifest.get("tiers", []))
     covered = set(manifest.get("base_epochs", []))
     for t in tiers:
@@ -868,6 +879,8 @@ def compact_index(
     manifest["compaction_gen"] = gen
     manifest["tiers"] = []
     manifest["base_epochs"] = epochs
+    manifest["n_shards"] = n_shards  # major re-merges everything: the
+    # doc_id→shard mapping is uniform again under the new value
     manifest["avg_dl_at_merge"] = avg_dl
     manifest["n_docs"] = n_docs
     manifest["avg_dl"] = avg_dl

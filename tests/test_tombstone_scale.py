@@ -108,3 +108,37 @@ def test_auto_compact_escalates_at_absolute_cap(spark, tmp_root):
     idx = load_index(spark, idx_dir)
     assert idx["manifest"]["n_docs"] == 260
     assert len(idx["deleted_ids"]) == 0
+
+
+def test_reshard_requires_major_and_keeps_mapping(spark, tmp_root):
+    """Review r4: a minor compaction at a different n_shards than the
+    index would fork the doc_id→shard mapping — rejected; a major
+    re-shard re-merges everything, records the new n_shards, and the
+    distributed tombstone filter stays exact (it maps through the
+    build-time chunk group)."""
+    import pytest
+
+    from ela_lib_spark.index.build import read_manifest
+
+    idx_dir = _mk_index_with_tombstones(spark, tmp_root, "reshard_idx")
+    with pytest.raises(ValueError, match="re-sharding requires"):
+        compact_index(spark, idx_dir, n_shards=3, mode="minor")
+
+    # driver_tombstone_cap=5 ALSO skips the merge-time purge, so the
+    # re-sharded postings still contain the 50 tombstoned docs — the
+    # query-side filters must hide them under the NEW shard mapping
+    res = compact_index(spark, idx_dir, n_shards=3, mode="major",
+                        driver_tombstone_cap=5)
+    assert res["mode"] == "major"
+    assert read_manifest(idx_dir)["n_shards"] == 3
+
+    idx_arr = load_index(spark, idx_dir)  # array filter path
+    idx_df = load_index(spark, idx_dir, driver_tombstone_cap=5)  # cogroup
+    assert len(idx_arr["deleted_ids"]) == 50
+    assert idx_df["deleted_df"] is not None
+    ra = _results(idx_arr)
+    assert _results(idx_df) == ra
+    dead = set(int(x) for x in idx_arr["deleted_ids"])
+    for rows in ra.values():
+        assert not ({d for d, _ in rows} & dead)
+    assert len(ra[("zztombver", "OR", None)]) == 50

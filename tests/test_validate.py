@@ -52,15 +52,26 @@ def test_validate_catches_corruptions(spark, tmp_root):
     build_index(spark, synth_pages_df(spark, 150), idx_dir,
                 n_buckets=4, n_shards=2)
 
-    # a) manifest/corpus_stats contradiction
+    # a0) missing required manifest key: reported, not crashed
     m = read_manifest(idx_dir)
+    good_postings = m["postings_dir"]
+    del m["postings_dir"]
+    m["snapshot_id"] = "val-test-snap-0"
+    write_manifest(idx_dir, m)
+    res = validate_index(spark, idx_dir)
+    assert not res["ok"] and not res["checks"]["manifest"]["ok"]
+    assert "postings_dir" in res["checks"]["manifest"]["detail"]
+
+    # a) manifest/corpus_stats contradiction
+    m["postings_dir"] = good_postings
     m["n_docs"] = 999
-    m.pop("snapshot_id")  # avoid duplicate-archive refusal
+    m["snapshot_id"] = "val-test-snap-1"
     write_manifest(idx_dir, m)
     res = validate_index(spark, idx_dir)
     assert not res["ok"]
     assert not res["checks"]["corpus_stats_vs_manifest"]["ok"]
     m["n_docs"] = 150
+    m["snapshot_id"] = "val-test-snap-2"
     write_manifest(idx_dir, m)
     assert validate_index(spark, idx_dir)["checks"][
         "corpus_stats_vs_manifest"]["ok"]
