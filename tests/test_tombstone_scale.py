@@ -142,3 +142,33 @@ def test_reshard_requires_major_and_keeps_mapping(spark, tmp_root):
     for rows in ra.values():
         assert not ({d for d, _ in rows} & dead)
     assert len(ra[("zztombver", "OR", None)]) == 50
+
+
+def test_reshard_misaligned_groups_mapping_exact(spark, tmp_root):
+    """The case the naive doc_id//shard_group formula gets WRONG:
+    build chunk group cg=2 (n_buckets=6, n_shards=3), re-shard major
+    to shard group g=3 — bucket 3 lives in chunk part 2 → shard 0,
+    while 3//3 would claim shard 1. With the merge purge skipped, the
+    cogroup tombstone filter must still hide every tombstoned doc."""
+    idx_dir = os.path.join(tmp_root, "misalign_idx")
+    pages = synth_pages_df(spark, 300).cache()
+    base = pages.limit(260).cache()
+    build_index(spark, base, idx_dir, n_buckets=6, n_shards=3,
+                use_html=True)
+    changed = base.limit(50).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zztombver"))
+    )
+    apply_delta_batch(changed, 0, idx_dir, n_buckets=6, mode="upsert")
+    compact_index(spark, idx_dir, n_shards=2, mode="major",
+                  driver_tombstone_cap=5)  # reshard g=3, purge skipped
+
+    idx_arr = load_index(spark, idx_dir)
+    idx_df = load_index(spark, idx_dir, driver_tombstone_cap=5)
+    assert len(idx_arr["deleted_ids"]) == 50
+    assert idx_df["deleted_df"] is not None
+    ra = _results(idx_arr)
+    assert _results(idx_df) == ra
+    dead = set(int(x) for x in idx_arr["deleted_ids"])
+    for rows in ra.values():
+        assert not ({d for d, _ in rows} & dead)
+    assert len(ra[("zztombver", "OR", None)]) == 50
