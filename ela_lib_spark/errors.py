@@ -23,3 +23,7 @@ class IndexCorruptError(EngineError):
 
 class SettingsError(EngineError):
     """Schema/settings translation failed (merge conflict, bad spec)."""
+
+
+class MaintenanceLockError(EngineError):
+    """Another compaction/GC holds the index's maintenance lock."""

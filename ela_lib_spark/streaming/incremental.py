@@ -39,6 +39,75 @@ from ela_lib_spark.schemas import WEB_PAGES
 DELTA_BUCKET_BASE = 1 << 20  # streamed buckets live above bulk buckets
 
 
+class _maintenance_lock:
+    """Single-writer guard for compaction/GC on one index dir.
+
+    Two concurrent minor compactions would each build a tier covering
+    the SAME uncovered epochs and the second manifest flip would
+    double-count those postings — the classic operator error this
+    excludes. Delta ingestion needs no lock (epoch dirs are disjoint
+    and compaction only covers epochs it has already listed).
+
+    Mechanics: O_CREAT|O_EXCL lock file holding pid + timestamp; a
+    lock whose pid is dead is STALE and stolen (crashed maintenance
+    never wedges the index). Single-host semantics — on a real cluster
+    the analog is a catalog/ZooKeeper/DynamoDB conditional-put lock,
+    swapped in here."""
+
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, ".maintenance.lock")
+        self.fd = None
+
+    def __enter__(self):
+        import errno
+
+        for _ in range(2):  # second try after stealing a stale lock
+            try:
+                self.fd = os.open(self.path,
+                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self.fd, f"{os.getpid()}\n".encode())
+                return self
+            except OSError as e:
+                if e.errno != errno.EEXIST:
+                    raise
+                try:
+                    with open(self.path) as f:
+                        pid = int(f.read().split()[0])
+                except (OSError, ValueError, IndexError):
+                    pid = None
+                alive = False
+                if pid is not None:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True
+                if alive:
+                    from ela_lib_spark.errors import MaintenanceLockError
+
+                    raise MaintenanceLockError(
+                        f"maintenance already running on this index "
+                        f"(pid {pid}, {self.path})"
+                    )
+                try:  # stale: holder died before releasing
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        from ela_lib_spark.errors import MaintenanceLockError
+
+        raise MaintenanceLockError(f"could not acquire {self.path}")
+
+    def __exit__(self, *exc):
+        if self.fd is not None:
+            os.close(self.fd)
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def _existing_doc_dict(spark, index_dir: str,
                        exclude_epoch: int | None = None,
                        probe_buckets: list[int] | None = None) -> DataFrame | None:
@@ -470,10 +539,10 @@ def _chunk_gc_cogroup_fn(decrements: dict):
     return fn
 
 
-def gc_index(spark: SparkSession, index_dir: str,
-             n_shards: int | None = None,
-             driver_tombstone_cap: int | None = None,
-             cogroup_salts: int = 16) -> dict:
+def _gc_index_impl(spark: SparkSession, index_dir: str,
+                   n_shards: int | None = None,
+                   driver_tombstone_cap: int | None = None,
+                   cogroup_salts: int = 16) -> dict:
     """Chunk-store garbage collection — the Lucene segment-rewrite
     analog and the amortized reclaim path for tombstones and delta
     fragmentation. One O(chunk store) pass (NO text re-extraction or
@@ -667,7 +736,7 @@ def gc_index(spark: SparkSession, index_dir: str,
             "chunks_dir": new_chunks_name}
 
 
-def compact_index(
+def _compact_index_impl(
     spark: SparkSession,
     index_dir: str,
     n_shards: int | None = None,
@@ -730,8 +799,8 @@ def compact_index(
             f"compact_index mode must be auto/minor/major/gc, got {mode!r}"
         )
     if mode == "gc":
-        return gc_index(spark, index_dir, n_shards=n_shards,
-                        driver_tombstone_cap=driver_tombstone_cap)
+        return _gc_index_impl(spark, index_dir, n_shards=n_shards,
+                              driver_tombstone_cap=driver_tombstone_cap)
 
     from ela_lib_spark.index.build import (
         TOMBSTONE_DRIVER_CAP,
@@ -776,8 +845,8 @@ def compact_index(
         gc_cap = (TOMBSTONE_GC_CAP if tombstone_gc_cap is None
                   else tombstone_gc_cap)
         if n_tomb > min(gc_after_deleted_frac * n_live, gc_cap):
-            return gc_index(spark, index_dir, n_shards=n_shards,
-                            driver_tombstone_cap=driver_tombstone_cap)
+            return _gc_index_impl(spark, index_dir, n_shards=n_shards,
+                                  driver_tombstone_cap=driver_tombstone_cap)
         pending_tiers = len(tiers) + (1 if new_epochs else 0)
         mode = "major" if pending_tiers > major_after_tiers else "minor"
     from ela_lib_spark.index.build import (
@@ -903,3 +972,42 @@ def compact_index(
         "mode": "major",
         "n_docs": n_docs,
     }
+
+
+def gc_index(spark: SparkSession, index_dir: str,
+             n_shards: int | None = None,
+             driver_tombstone_cap: int | None = None,
+             cogroup_salts: int = 16) -> dict:
+    """Single-writer-guarded public entry — see _gc_index_impl for the
+    rewrite itself and _maintenance_lock for the exclusion rationale
+    (a concurrent compaction would race the manifest flip)."""
+    with _maintenance_lock(index_dir):
+        return _gc_index_impl(spark, index_dir, n_shards=n_shards,
+                              driver_tombstone_cap=driver_tombstone_cap,
+                              cogroup_salts=cogroup_salts)
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_shards: int | None = None,
+    mode: str = "auto",
+    major_after_tiers: int = 4,
+    gc_after_deleted_frac: float = 0.25,
+    tombstone_gc_cap: int | None = None,
+    driver_tombstone_cap: int | None = None,
+) -> dict:
+    """Single-writer-guarded public entry — see _compact_index_impl
+    for compaction semantics. Two concurrent minor compactions would
+    each tier the same uncovered epochs and double-count them at the
+    second manifest flip; the lock (stale-stealing, crash-safe)
+    excludes that. Raises MaintenanceLockError if maintenance is
+    already running on this index."""
+    with _maintenance_lock(index_dir):
+        return _compact_index_impl(
+            spark, index_dir, n_shards=n_shards, mode=mode,
+            major_after_tiers=major_after_tiers,
+            gc_after_deleted_frac=gc_after_deleted_frac,
+            tombstone_gc_cap=tombstone_gc_cap,
+            driver_tombstone_cap=driver_tombstone_cap,
+        )

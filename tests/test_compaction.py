@@ -587,3 +587,31 @@ def test_serving_cache_revalidates_on_snapshot_flip(spark, tmp_root):
     compact_index(spark, idx_dir, n_shards=2)
     assert wand_topk(idx, ["zzpostgc"], "OR", 100).count() == 50  # live
     assert wand_topk(tt, ["zzpostgc"], "OR", 100).count() == 0  # frozen
+
+
+def test_maintenance_lock_excludes_and_steals(spark, tmp_root):
+    """Concurrent compaction/GC is excluded by the maintenance lock
+    (two minors would double-count the same epochs); a lock left by a
+    DEAD process is stale and stolen, so crashes never wedge the
+    index."""
+    import pytest
+
+    from ela_lib_spark.errors import MaintenanceLockError
+
+    idx_dir = os.path.join(tmp_root, "lock_idx")
+    pages = synth_pages_df(spark, 120).cache()
+    build_index(spark, pages.limit(100), idx_dir, n_buckets=4, n_shards=2)
+    apply_delta_batch(pages.subtract(pages.limit(100)), 0, idx_dir,
+                      n_buckets=4)
+
+    lock = os.path.join(idx_dir, ".maintenance.lock")
+    with open(lock, "w") as f:  # live holder (our own pid)
+        f.write(f"{os.getpid()}\n")
+    with pytest.raises(MaintenanceLockError, match="already running"):
+        compact_index(spark, idx_dir, n_shards=2)
+
+    with open(lock, "w") as f:  # stale holder (dead pid)
+        f.write("999999999\n")
+    res = compact_index(spark, idx_dir, n_shards=2)
+    assert res["mode"] == "minor" and res["compacted_epochs"] == 1
+    assert not os.path.exists(lock)  # released after success
