@@ -106,6 +106,40 @@ def shard_group(n_buckets: int, n_shards: int) -> int:
     return max(1, (n_buckets + n_shards - 1) // n_shards)
 
 
+def tombstone_part_expr(manifest: dict):
+    """Column expr mapping a tombstoned `doc_id` to the part_id of the
+    chunk row holding its postings — the shared half of the
+    doc_id→shard derivation (query/wand.tombstones_with_shard and the
+    GC cogroup both use it; one definition, review r4). Bulk chunk
+    rows carry their bucket-GROUP's base bucket; delta epochs chunk at
+    group=1 so part = the (offset) bucket itself.
+
+    Legacy manifests without `chunk_bucket_group` fall back to
+    shard_group(n_buckets, n_shards) — exact as long as the index was
+    never re-sharded, and compact/gc stamp the true value into the
+    manifest before any re-shard can change n_shards."""
+    from ela_lib_spark.streaming.incremental import DELTA_BUCKET_BASE
+
+    cg = int(manifest.get("chunk_bucket_group") or shard_group(
+        int(manifest["n_buckets"]), int(manifest["n_shards"])))
+    bucket = F.shiftright("doc_id", DOC_BITS)
+    return F.when(
+        bucket < DELTA_BUCKET_BASE, F.floor(bucket / cg) * cg
+    ).otherwise(bucket)
+
+
+def stamp_chunk_bucket_group(manifest: dict) -> None:
+    """Record the build-time chunk part granularity on a legacy
+    manifest BEFORE anything can change n_shards (re-shard major):
+    pre-r4 manifests' chunks were produced with
+    shard_group(n_buckets, n_shards-at-build), and n_shards still
+    holds the build value until the first re-shard."""
+    manifest.setdefault(
+        "chunk_bucket_group",
+        shard_group(int(manifest["n_buckets"]), int(manifest["n_shards"])),
+    )
+
+
 def doc_id_expr():
     return (
         F.shiftleft(F.col("bucket").cast("long"), DOC_BITS) + F.col("rk") - 1

@@ -42,11 +42,9 @@ def validate_index(spark: SparkSession, index_dir: str,
                    deep: bool = False) -> dict:
     from ela_lib_spark.index.build import (
         corpus_stats_path,
-        delta_doc_stats_dirs,
         docs_dir_path,
         ledger_path,
         read_manifest,
-        read_tombstones,
     )
 
     checks: dict = {}
@@ -81,12 +79,30 @@ def validate_index(spark: SparkSession, index_dir: str,
     if gone:
         return {"ok": False, "checks": checks}
 
+    # every remaining check reads datasets that can themselves be
+    # corrupt (truncated parquet, empty dirs): an unreadable dataset is
+    # a FINDING for an fsck tool, never a crash (review r4)
+    try:
+        _dataset_checks(spark, index_dir, manifest, dirs, checks, deep)
+    except Exception as e:
+        _check(checks, "datasets_readable", False,
+               f"{type(e).__name__}: {str(e)[:300]}")
+    return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}
+
+
+def _dataset_checks(spark, index_dir: str, manifest: dict, dirs: dict,
+                    checks: dict, deep: bool) -> None:
+    from ela_lib_spark.index.build import (
+        delta_doc_stats_dirs,
+        read_tombstones,
+    )
+
     # 2. control tables vs manifest
     cs = spark.read.parquet(dirs["corpus_stats"]).first()
     if cs is None:  # dir exists but holds zero rows — corrupt table
         _check(checks, "corpus_stats_vs_manifest", False,
                "corpus_stats table is empty")
-        return {"ok": False, "checks": checks}
+        return
     ok_cs = (int(cs.n_docs) == int(manifest["n_docs"])
              and abs(float(cs.avg_dl) - float(manifest["avg_dl"])) < 1e-6)
     _check(checks, "corpus_stats_vs_manifest", ok_cs,
@@ -151,8 +167,6 @@ def validate_index(spark: SparkSession, index_dir: str,
     if deep:
         checks.update(_deep_postings_check(spark, dirs["postings"],
                                            manifest, index_dir))
-
-    return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}
 
 
 def _deep_postings_check(spark, postings_dir: str, manifest: dict,

@@ -212,15 +212,10 @@ def tombstones_with_shard(tomb: DataFrame, manifest: dict) -> DataFrame:
     Going through the part granularity keeps the mapping exact even
     after a re-sharding major compaction where shard_group is not a
     multiple of the build-time chunk group."""
-    from ela_lib_spark.index.build import DOC_BITS, shard_group
-    from ela_lib_spark.streaming.incremental import DELTA_BUCKET_BASE
+    from ela_lib_spark.index.build import shard_group, tombstone_part_expr
 
     g = shard_group(int(manifest["n_buckets"]), int(manifest["n_shards"]))
-    cg = int(manifest.get("chunk_bucket_group") or g)
-    bucket = F.shiftright("doc_id", DOC_BITS)
-    part = F.when(
-        bucket < DELTA_BUCKET_BASE, F.floor(bucket / cg) * cg
-    ).otherwise(bucket)
+    part = tombstone_part_expr(manifest)
     return tomb.select("doc_id", (part / g).cast("int").alias("shard"))
 
 

@@ -48,9 +48,14 @@ class _maintenance_lock:
     excludes. Delta ingestion needs no lock (epoch dirs are disjoint
     and compaction only covers epochs it has already listed).
 
-    Mechanics: O_CREAT|O_EXCL lock file holding pid + timestamp; a
-    lock whose pid is dead is STALE and stolen (crashed maintenance
-    never wedges the index). Single-host semantics — on a real cluster
+    Mechanics: O_CREAT|O_EXCL lock file holding (pid, process
+    start-time). Liveness = pid alive AND its /proc start-time matches
+    the recorded one, so a recycled pid (post-reboot or wraparound)
+    cannot masquerade as a live holder and wedge maintenance. A stale
+    lock is stolen via an atomic os.rename to a unique name — only one
+    of N concurrent stealers wins the rename (review r4: an
+    unconditional remove let two stealers each delete-and-recreate,
+    admitting two writers). Single-host semantics — on a real cluster
     the analog is a catalog/ZooKeeper/DynamoDB conditional-put lock,
     swapped in here."""
 
@@ -58,23 +63,37 @@ class _maintenance_lock:
         self.path = os.path.join(index_dir, ".maintenance.lock")
         self.fd = None
 
+    @staticmethod
+    def _proc_start(pid: int) -> str | None:
+        """Kernel start-time ticks of `pid` (stable identity for the
+        process's lifetime), or None if unreadable."""
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().rsplit(") ", 1)[1].split()[19]
+        except (OSError, IndexError):
+            return None
+
     def __enter__(self):
         import errno
 
-        for _ in range(2):  # second try after stealing a stale lock
+        for _ in range(3):  # retries after losing a steal race
             try:
                 self.fd = os.open(self.path,
                                   os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(self.fd, f"{os.getpid()}\n".encode())
+                me = os.getpid()
+                os.write(self.fd,
+                         f"{me} {self._proc_start(me) or '-'}\n".encode())
                 return self
             except OSError as e:
                 if e.errno != errno.EEXIST:
                     raise
                 try:
                     with open(self.path) as f:
-                        pid = int(f.read().split()[0])
+                        parts = f.read().split()
+                    pid = int(parts[0])
+                    started = parts[1] if len(parts) > 1 else "-"
                 except (OSError, ValueError, IndexError):
-                    pid = None
+                    pid, started = None, "-"
                 alive = False
                 if pid is not None:
                     try:
@@ -84,6 +103,10 @@ class _maintenance_lock:
                         alive = False
                     except PermissionError:
                         alive = True
+                    if alive and started != "-":
+                        # pid alive but a DIFFERENT process (recycled
+                        # pid): the recorded start-time won't match
+                        alive = self._proc_start(pid) == started
                 if alive:
                     from ela_lib_spark.errors import MaintenanceLockError
 
@@ -91,10 +114,14 @@ class _maintenance_lock:
                         f"maintenance already running on this index "
                         f"(pid {pid}, {self.path})"
                     )
-                try:  # stale: holder died before releasing
-                    os.remove(self.path)
-                except FileNotFoundError:
-                    pass
+                # stale: steal via atomic rename — exactly one stealer
+                # wins; losers loop and see the winner's fresh lock
+                stolen = self.path + f".stale-{os.getpid()}"
+                try:
+                    os.rename(self.path, stolen)
+                    os.remove(stolen)
+                except OSError:
+                    pass  # someone else won the rename — retry
         from ela_lib_spark.errors import MaintenanceLockError
 
         raise MaintenanceLockError(f"could not acquire {self.path}")
@@ -580,6 +607,9 @@ def _gc_index_impl(spark: SparkSession, index_dir: str,
     manifest = read_manifest(index_dir)
     if n_shards is None:
         n_shards = int(manifest.get("n_shards", 8))
+    from ela_lib_spark.index.build import stamp_chunk_bucket_group
+
+    stamp_chunk_bucket_group(manifest)
     cap = (TOMBSTONE_DRIVER_CAP if driver_tombstone_cap is None
            else driver_tombstone_cap)
     tomb = read_tombstones(spark, index_dir)
@@ -614,19 +644,11 @@ def _gc_index_impl(spark: SparkSession, index_dir: str,
         left = all_chunks.drop("is_m").withColumn(
             "_salt", F.pmod(F.col("term_id"), F.lit(cogroup_salts)).cast("int")
         )
-        # tombstone → chunk-row part_id: bulk chunk rows carry their
-        # bucket-GROUP's base bucket (index/build.py _spimi_fn); delta
-        # epochs chunk at group=1, so their part IS the offset bucket
-        from ela_lib_spark.index.build import shard_group
+        from ela_lib_spark.index.build import tombstone_part_expr
 
-        cg = int(manifest.get("chunk_bucket_group")
-                 or shard_group(int(manifest["n_buckets"]), n_shards))
-        bucket = F.shiftright("doc_id", DOC_BITS)
         right = tomb.select(
             "doc_id",
-            F.when(
-                bucket < DELTA_BUCKET_BASE, F.floor(bucket / cg) * cg
-            ).otherwise(bucket).cast("int").alias("part_id"),
+            tombstone_part_expr(manifest).cast("int").alias("part_id"),
         ).withColumn(
             "_salt",
             F.explode(F.array(*[F.lit(i) for i in range(cogroup_salts)])),
@@ -809,6 +831,12 @@ def _compact_index_impl(
     )
 
     manifest = read_manifest(index_dir)
+    from ela_lib_spark.index.build import stamp_chunk_bucket_group
+
+    # record the build-time chunk granularity BEFORE any re-shard can
+    # change n_shards — legacy (pre-r4) manifests derive it from the
+    # still-original n_shards (review r4)
+    stamp_chunk_bucket_group(manifest)
     if n_shards is None:
         # default to the manifest's shard count: a uniform n_shards
         # across all merges keeps the doc_id→shard formula exact for

@@ -128,3 +128,22 @@ def test_validate_cli(spark, tmp_root):
     assert rc == 0
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["ok"] and out["checks"]["deep_block_decode"]["ok"]
+
+
+def test_validate_reports_unreadable_dataset(spark, tmp_root):
+    """A truncated/garbage parquet dataset is a FINDING, not a crash
+    (review r4): the fsck returns ok=False with datasets_readable."""
+    import glob
+
+    idx_dir = os.path.join(tmp_root, "val_unreadable_idx")
+    build_index(spark, synth_pages_df(spark, 80), idx_dir,
+                n_buckets=4, n_shards=2)
+    for f in glob.glob(os.path.join(idx_dir, "corpus_stats", "*.parquet")):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    res = validate_index(spark, idx_dir)
+    assert not res["ok"]
+    assert not res["checks"]["datasets_readable"]["ok"]
