@@ -480,6 +480,21 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_image_decode(spark, sf_dir):
+    """REAL PNG decode (stdlib zlib + full filter reconstruction —
+    ela_lib_spark/functions/multimodal.py:decode_png) over
+    deterministic fixture PNGs whose scanlines cycle all five PNG
+    filter types; the oracle recomputes every statistic from the pixel
+    FORMULA without ever touching the codec."""
+    from ela_lib_spark.functions.multimodal import (
+        decode_image_features,
+        synth_png_media_df,
+    )
+
+    _ensure_pkg(spark)
+    return decode_image_features(synth_png_media_df(spark, 48))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_count_docs": q_count_docs,
@@ -512,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": q_embed_near_dup,
         "q_knn_join": q_knn_join,
         "q_image_features": q_image_features,
+        "q_image_decode": q_image_decode,
         # rows-only (xxhash64/k-means kernels DuckDB can't express);
         # each pinned by an independent pure-Python oracle in
         # tests/test_pinned_oracles.py AND by committed fixtures that
@@ -751,6 +767,37 @@ FROM hashes
 """
 
 
+def _image_decode_sql(n: int = 48) -> str:
+    """Independent oracle for the real PNG decode: width/height/
+    channels/mean recomputed from the pixel FORMULA (plain scalar
+    Python at SQL-generation time — no numpy, no codec, no shared code
+    with decode_png), emitted as a VALUES table. A decoder bug
+    anywhere (chunk walk, inflate framing, any of the five filter
+    reconstructions) shifts mean_byte and breaks the hash match."""
+    rows = []
+    for i in range(n):
+        color_type = (0, 2, 6)[i % 3]
+        c = {0: 1, 2: 3, 6: 4}[color_type]
+        w, h = 16 + (i % 5) * 8, 12 + (i % 4) * 6
+        total = 0
+        for y in range(h):
+            for x in range(w):
+                for s in range(c):
+                    total += (x * 3 + y * 7 + s * 5 + i * 11) % 256
+        mean = round(total / (w * h * c), 6)
+        rows.append(f"({i}, {w}, {h}, {c}, {mean})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH px(media_id, width, height, n_channels, mean_byte) AS (
+  VALUES
+    {values}
+)
+SELECT media_id, width::INT AS width, height::INT AS height,
+       n_channels::INT AS n_channels, mean_byte::DOUBLE AS mean_byte
+FROM px
+"""
+
+
 def _text_stats_sql() -> str:
     from ela_lib_spark.functions.analysis import LANG_STOPWORDS
 
@@ -879,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embed_near_dup": _embed_near_dup_sql(),
         "q_knn_join": _knn_join_sql(),
         "q_image_features": _image_features_sql(),
+        "q_image_decode": _image_decode_sql(),
         "q_doc_fingerprint": f"""
             SELECT doc_id,
                    md5(coalesce(array_to_string({_TOK_SQL}, chr(31)), ''))

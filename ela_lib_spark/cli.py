@@ -121,7 +121,34 @@ def main(argv=None, spark=None):
     g.add_argument("--n-shards", type=int, default=None,
                    help="default: the manifest's shard count")
 
+    sn = sub.add_parser(
+        "snapshots",
+        help="snapshot retention: `retention --keep N` makes GC/major "
+             "preserve dirs the N newest snapshots reference; `expire "
+             "[--keep N]` drops older snapshots and frees their dirs",
+    )
+    sn.add_argument("verb", choices=["retention", "expire"])
+    sn.add_argument("index_dir")
+    sn.add_argument("--keep", type=int, default=None,
+                    help="retention window (expire defaults to the "
+                         "manifest's configured window)")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "snapshots":  # pure metadata/filesystem — no session
+        from ela_lib_spark.streaming.incremental import (
+            expire_snapshots,
+            set_snapshot_retention,
+        )
+
+        if args.verb == "retention":
+            if args.keep is None:
+                p.error("snapshots retention requires --keep N")
+            print(json.dumps(set_snapshot_retention(args.index_dir,
+                                                    args.keep)))
+        else:
+            print(json.dumps(expire_snapshots(args.index_dir, args.keep)))
+        return 0
 
     if args.cmd == "history":  # pure metadata — no session needed
         from ela_lib_spark.index.build import read_manifest

@@ -316,7 +316,7 @@ def _revalidate_serving(index: dict) -> None:
     if live.get("snapshot_id") == pinned:
         return
     spark = index["postings"].sparkSession
-    for k in ("postings", "envelopes"):
+    for k in ("postings", "envelopes", "tombstones_sharded"):
         df = index.get(k)
         if df is not None:
             try:
@@ -324,6 +324,7 @@ def _revalidate_serving(index: dict) -> None:
             except Exception:
                 pass  # cache may already be invalid post-GC
     index.pop("envelopes_driver", None)
+    index.pop("tombstones_sharded", None)
     index.update(load_index(
         spark, index["dir"],
         driver_tombstone_cap=index.get("driver_tombstone_cap"),
@@ -434,8 +435,19 @@ def wand_topk(index: dict, terms: list[str], mode: str = "OR", k: int = 10,
     if tomb_df is not None:
         # tombstones past TOMBSTONE_DRIVER_CAP: co-group them with the
         # postings by shard — the set is shuffled (partitioned like the
-        # postings), never collected or closure-shipped
-        tshard = tombstones_with_shard(tomb_df, m)
+        # postings), never collected or closure-shipped. The shard-keyed
+        # frame is computed ONCE per index pin and persisted (ADVICE
+        # r4: recomputing tombstone_part_expr + reshuffling ~n_tomb
+        # rows per query is a per-query latency cliff at the 10^8 GC
+        # cap); _revalidate_serving unpersists it on a snapshot flip.
+        tshard = index.get("tombstones_sharded")
+        if tshard is None:
+            from pyspark import StorageLevel
+
+            tshard = tombstones_with_shard(tomb_df, m).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            index["tombstones_sharded"] = tshard
         shard_tops = q.groupBy("shard").cogroup(
             tshard.groupBy("shard")
         ).applyInPandas(

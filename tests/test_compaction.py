@@ -615,3 +615,68 @@ def test_maintenance_lock_excludes_and_steals(spark, tmp_root):
     res = compact_index(spark, idx_dir, n_shards=2)
     assert res["mode"] == "minor" and res["compacted_epochs"] == 1
     assert not os.path.exists(lock)  # released after success
+
+
+def test_maintenance_lock_steal_toctou_restores_live_lock(tmp_root, monkeypatch):
+    """ADVICE r4 TOCTOU guard: if a rival completes its own steal and
+    re-creates a FRESH LIVE lock between a slow stealer's staleness
+    check and its rename, the slow stealer must detect the mismatch on
+    the stolen file's frozen contents, restore it (same inode), and
+    lose — never acquire alongside the live holder."""
+    import pytest
+
+    from ela_lib_spark.errors import MaintenanceLockError
+    from ela_lib_spark.streaming.incremental import _maintenance_lock
+
+    idx_dir = os.path.join(tmp_root, "toctou_idx")
+    os.makedirs(idx_dir, exist_ok=True)
+    lock_path = os.path.join(idx_dir, ".maintenance.lock")
+    # the "rival's fresh live lock": our own (live) pid + start-time
+    start = _maintenance_lock._proc_start(os.getpid())
+    with open(lock_path, "w") as f:
+        f.write(f"{os.getpid()} {start}\n")
+    orig_ino = os.stat(lock_path).st_ino
+
+    # Simulate the interleave: the slow stealer's STALENESS check sees
+    # a dead holder (first call), but by the time it renames, the file
+    # holds the rival's live lock (every later call sees the truth).
+    calls = {"n": 0}
+    real_live = _maintenance_lock._lock_live.__func__
+
+    def raced_live(cls, parts):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False  # stale verdict from the pre-rename read
+        return real_live(cls, parts)
+
+    monkeypatch.setattr(_maintenance_lock, "_lock_live",
+                        classmethod(raced_live))
+    with pytest.raises(MaintenanceLockError):
+        _maintenance_lock(idx_dir).__enter__()
+    # the live lock survived, same inode (hard-linked back), no litter
+    assert os.stat(lock_path).st_ino == orig_ino
+    assert os.listdir(idx_dir) == [".maintenance.lock"]
+
+
+def test_maintenance_lock_exit_spares_foreign_lock(tmp_root):
+    """__exit__ ownership check: a holder whose lock was stolen (it
+    was judged dead) must NOT delete the new writer's lock."""
+    from ela_lib_spark.streaming.incremental import _maintenance_lock
+
+    idx_dir = os.path.join(tmp_root, "exit_idx")
+    os.makedirs(idx_dir, exist_ok=True)
+    lock_path = os.path.join(idx_dir, ".maintenance.lock")
+    lk = _maintenance_lock(idx_dir).__enter__()
+    # a stealer replaces our lock with its own (new inode)
+    os.remove(lock_path)
+    with open(lock_path, "w") as f:
+        f.write(f"{os.getpid()} -\n")
+    foreign_ino = os.stat(lock_path).st_ino
+    lk.__exit__(None, None, None)
+    assert os.path.exists(lock_path)
+    assert os.stat(lock_path).st_ino == foreign_ino
+    # ...and a normal acquire→release cycle still cleans up after itself
+    os.remove(lock_path)
+    with _maintenance_lock(idx_dir):
+        assert os.path.exists(lock_path)
+    assert not os.path.exists(lock_path)

@@ -485,3 +485,76 @@ def test_connected_components_paths_agree(spark):
     assert drv == it == over_cap
     assert drv == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
                    (20, 20), (21, 20), (22, 20)]
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode_png inverts encode_png across every filter type and
+    color type (gray/RGB/RGBA) — each scanline-reconstruction path
+    (None/Sub/Up/Average/Paeth) is exercised bit-exactly. The pixels
+    come from an arithmetic formula, so the companion driver oracle
+    (q_image_decode) independently cross-checks the decoder against
+    statistics computed without the codec."""
+    from ela_lib_spark.functions.multimodal import (
+        _PNG_CHANNELS,
+        decode_png,
+        encode_png,
+        synth_png_pixels,
+    )
+
+    for i in range(12):
+        ct, px = synth_png_pixels(i)
+        for filts in ([0], [1], [2], [3], [4], None):
+            w, h, c, out = decode_png(encode_png(px, ct, filts))
+            assert (out == px).all()
+            assert c == _PNG_CHANNELS[ct]
+            assert (h, w * c) == px.shape
+
+
+def test_png_unsupported_variants_raise_typed():
+    import struct as _s
+    import zlib as _z
+
+    import pytest as _pt
+
+    from ela_lib_spark.functions.multimodal import (
+        PNG_MAGIC,
+        UnsupportedMediaError,
+        _decode_image_impl,
+        decode_png,
+    )
+
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # palette (color type 3) PNG header → typed error, not a stub
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    pal_png = PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with _pt.raises(UnsupportedMediaError):
+        decode_png(pal_png)
+    # JPEG magic → typed error pointing at the PIL swap-in
+    with _pt.raises(UnsupportedMediaError):
+        _decode_image_impl(b"\xff\xd8\xff\xe0JFIF\x00")
+
+
+def test_decode_image_features_matches_formula(spark):
+    """End-to-end Spark decode: mapInPandas over real PNG payloads →
+    stats equal the pure-formula recomputation (no codec involved)."""
+    from ela_lib_spark.functions.multimodal import (
+        decode_image_features,
+        synth_png_media_df,
+        synth_png_pixels,
+    )
+
+    got = {
+        r.media_id: r
+        for r in decode_image_features(synth_png_media_df(spark, 12)).collect()
+    }
+    assert len(got) == 12
+    for i in range(12):
+        ct, px = synth_png_pixels(i)
+        c = {0: 1, 2: 3, 6: 4}[ct]
+        r = got[i]
+        assert (r.width, r.height, r.n_channels) == (px.shape[1] // c,
+                                                     px.shape[0], c)
+        assert abs(r.mean_byte - px.mean()) < 1e-5
