@@ -378,23 +378,28 @@ def _valid_rep_indices(reps_lo: list[dict], reps_hi: list[dict]) -> list[int]:
     """Indices of throttle-clean rep pairs (VERDICT r4 #1).
 
     A rep pair is valid when its process-tree CPU at BOTH levels is
-    within ±CPU_OUTLIER_PCT of that level's per-rep median. Total CPU
+    within +CPU_OUTLIER_PCT of that level's per-rep MINIMUM. Total CPU
     work is parallelism- and wall-clock-invariant for this build (the
-    per-phase task-metric tables prove it round-over-round), so a rep
-    whose CPU is far off its peers did extra *stall* work — it was
-    measured inside a host-throttle window and its wall-clock is not a
-    scaling signal. With fewer than 3 pairs no median is meaningful;
-    everything passes."""
-    if len(reps_lo) < 3:
+    per-phase task-metric tables prove it round-over-round), and
+    host-throttle contamination is ONE-SIDED — stall cycles only ever
+    ADD CPU — so the cleanest observed rep is the reference and any
+    rep burning >tol more CPU did extra stall work: its wall-clock
+    measures the throttle schedule, not scaling. (A median reference
+    — the first cut of this gate — is itself dragged up when ≥2 of
+    the reps are contaminated, which the r5 builder run demonstrated:
+    4c rep CPUs [129, 98, 106, 119, 108] put the 129 within 20% of
+    the 108 median while both 129 and 119 were visibly stalled.)
+    With fewer than 2 pairs there is nothing to compare; everything
+    passes."""
+    if len(reps_lo) < 2:
         return list(range(len(reps_lo)))
-    tol = CPU_OUTLIER_PCT / 100.0
+    tol = 1.0 + CPU_OUTLIER_PCT / 100.0
     out = list(range(len(reps_lo)))
     for reps in (reps_lo, reps_hi):
-        med = statistics.median(r["tree_cpu_s"] for r in reps)
-        if not med:
+        ref = min(r["tree_cpu_s"] for r in reps)
+        if not ref:
             continue
-        out = [i for i in out
-               if abs(reps[i]["tree_cpu_s"] - med) / med <= tol]
+        out = [i for i in out if reps[i]["tree_cpu_s"] <= ref * tol]
     return out
 
 
@@ -489,13 +494,16 @@ anywhere — r2's was rejected by the judge and is deleted.
   throttle window burns visibly more process-tree CPU than its peers
   (stall cycles count as CPU; r4's corrupted rep: 143 CPU-s vs 94-99
   at 1c) — its wall-clock measures the throttle schedule, not
-  scaling. Reps whose tree-CPU deviates >{CPU_OUTLIER_PCT:.0f}% from
-  the per-level rep median (either level) are discarded and the
-  harness keeps running pairs (max {os.environ.get('BENCH_SCALE_MAX_REPS', '8')})
-  until ≥4 valid. This run: {sc['reps_discarded']} of
-  {len(reps_lo)} rep pairs discarded (all reps incl. CPU are in the
-  table above and BENCH_DETAILS.json; all-rep efficiencies
-  {sc['per_rep_eff_all']}).
+  scaling. Throttle contamination is ONE-SIDED (stalls only ADD
+  CPU), so the per-level MINIMUM rep CPU is the clean reference:
+  reps burning >{CPU_OUTLIER_PCT:.0f}% more than it (either level)
+  are discarded and the harness keeps running pairs (max
+  {os.environ.get('BENCH_SCALE_MAX_REPS', '8')}) until ≥4 valid.
+  (A median reference is itself dragged up when ≥2 reps are
+  contaminated — observed in the first r5 builder run.) This run:
+  {sc['reps_discarded']} of {len(reps_lo)} rep pairs discarded (all
+  reps incl. CPU are in the table above and BENCH_DETAILS.json;
+  all-rep efficiencies {sc['per_rep_eff_all']}).
 - Throughput: {sc[f'docs_per_sec_{lo}c']:.0f} docs/s @{lo}c →
   {sc[f'docs_per_sec_{hi}c']:.0f} docs/s @{hi}c.
 - **Total-work invariance** (throttle-immune check): process-tree CPU
@@ -711,6 +719,22 @@ def main():
         qsecs[f"wand_{q['name']}"] = round(best, 3)
     result["wand_p50_sec"] = round(statistics.median(lat), 3)
     result["wand_p95_sec"] = round(sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 3)
+
+    # 3b. operational fsck cost (VERDICT r4 #8): the deep pass decodes
+    # every posting block — O(postings), the corruption-check a 10^12
+    # index schedules after incidents; timing it makes that cost a
+    # known quantity round-over-round.
+    try:
+        from ela_lib_spark.index.validate import validate_index
+
+        t0 = time.monotonic()
+        vres = validate_index(spark, os.path.join(work, "idx"), deep=True)
+        result["validate_deep_secs"] = round(time.monotonic() - t0, 2)
+        result["validate_deep_ok"] = bool(vres["ok"])
+        print(f"# validate --deep: {result['validate_deep_secs']}s "
+              f"ok={vres['ok']}", file=sys.stderr)
+    except Exception as e:
+        print(f"# validate --deep FAILED: {e}", file=sys.stderr)
     spark.stop()
 
     # 4. scaling-evidence assembly (the runs themselves happened FIRST,

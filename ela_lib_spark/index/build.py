@@ -418,12 +418,13 @@ def chunks_from_docs(docs_df: DataFrame, skip_buckets=None,
                      bucket_group: int = 1) -> DataFrame:
     """Stage A: SPIMI posting chunks, one+ per (bucket group, term).
 
-    Correctness relies on each bucket's rows being *contiguous and
-    doc-id-ascending within each input file* (the docs job writes them
-    that way: its window stage sorts every partition by (bucket, url)
-    — so ascending buckets also make each bucket GROUP a contiguous
-    run), so chunks of the same (group, term) from different read
-    splits cover disjoint, ordered doc ranges.
+    Each chunk is internally doc-id-ascending (each input file is
+    sorted by (bucket, url), so any read split of it is too). Chunks
+    of the same (group, term) from different read splits may cover
+    INTERLEAVED doc ranges — the docs table is hash-partitioned by
+    bucket, so a split's bucket subset is scattered — and the merge
+    kernel therefore sorts within each (term, shard) group before
+    block tiling (r5 fix; see _merge_batch_vectorized).
 
     `bucket_group` should equal the merge's shard group size
     (ceil(n_buckets/n_shards), what build_index passes): chunking at
@@ -483,6 +484,31 @@ def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
         first_arr, n
     )
 
+    # postings must be doc-id-ascending WITHIN each (term, shard)
+    # group before block tiling. Chunks arrive sorted by first_doc_id,
+    # but their doc RANGES can interleave: the docs table is
+    # hash-partitioned by bucket, so one read split's chunk covers a
+    # scattered bucket subset (e.g. {65, 94}) that straddles another
+    # split's ({70, 80}) — concatenation alone emits misordered blocks
+    # and inverted [first, last] envelopes, which the AND block
+    # prefilter then prunes wrongly (caught by validate --deep's
+    # full-decode audit at 512-bucket scale, r5; small indexes place
+    # ≤1 bucket per file, which is why rank-identity tests never saw
+    # it). Stable lexsort on (group, id); skipped when already sorted
+    # (the common small-index / single-bucket-per-split case).
+    new_group = np.ones(nrows, bool)
+    if nrows > 1:
+        new_group[1:] = (term_arr[1:] != term_arr[:-1]) | (
+            shard_arr[1:] != shard_arr[:-1]
+        )
+    post_group = np.repeat(np.cumsum(new_group) - 1, n)
+    unsorted = bool(
+        ((ids[1:] <= ids[:-1]) & (post_group[1:] == post_group[:-1])).any()
+    ) if total > 1 else False
+    if unsorted:
+        order = np.lexsort((ids, post_group))
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+
     if deleted is not None and len(deleted) and total:
         pos = np.searchsorted(deleted, ids)
         dead = (pos < len(deleted)) & (deleted[np.minimum(pos, len(deleted) - 1)] == ids)
@@ -508,11 +534,7 @@ def _merge_batch_vectorized(pdf: pd.DataFrame, avg_dl: float,
     impact = tfs / (tfs + k1 * (1 - b + b * dls / avg_dl))
 
     # group boundaries: consecutive chunks with equal (term, shard)
-    new_group = np.ones(nrows, bool)
-    if nrows > 1:
-        new_group[1:] = (term_arr[1:] != term_arr[:-1]) | (
-            shard_arr[1:] != shard_arr[:-1]
-        )
+    # (new_group computed above, before the in-group sort)
     g_chunk = np.flatnonzero(new_group)
     g_start = chunk_starts[g_chunk]
     g_end = np.append(g_start[1:], total)
@@ -577,6 +599,12 @@ def _merge_group(out: dict, term_id: int, shard: int, df_val: int,
     ids = np.concatenate(ids_l) if len(ids_l) > 1 else ids_l[0]
     tfs = np.concatenate(tfs_l) if len(tfs_l) > 1 else tfs_l[0]
     dls = np.concatenate(dls_l) if len(dls_l) > 1 else dls_l[0]
+    # same in-group ordering requirement as the vectorized path: chunk
+    # doc RANGES can interleave (hash-scattered buckets per read
+    # split), so concatenation order is not doc-id order
+    if len(ids) > 1 and (ids[1:] <= ids[:-1]).any():
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
     if deleted is not None and len(deleted) and len(ids):
         pos = np.searchsorted(deleted, ids)
         keep = ~((pos < len(deleted))

@@ -154,3 +154,44 @@ def test_wand_min_match_rank_identical(spark, index, corpus_tokens):
     assert got3 == got_and
     # unsatisfiable threshold → empty
     assert wand_topk(index, terms, "OR", 10, min_match=4).count() == 0
+
+
+def test_scattered_bucket_merge_rank_identical(spark, tmp_root):
+    """Regression (r5): the docs table is HASH-partitioned by bucket,
+    so with n_buckets ≫ partitions each read split's chunk covers a
+    scattered bucket subset whose doc-id range interleaves other
+    splits' — the merge must sort postings within each (term, shard)
+    group rather than trust chunk-concatenation order. Pre-fix this
+    emitted misordered blocks and inverted [first, last] envelopes:
+    measured at 20k docs / 256 buckets, 4/4 probe queries (AND and OR)
+    returned WRONG top-k. This test builds at a bucket:partition ratio
+    that forces the interleave and asserts (a) a clean deep fsck and
+    (b) exact rank-identity vs the brute oracle."""
+    import os
+
+    from ela_lib_spark.index.build import build_index, ids_with_tokens, load_index
+    from ela_lib_spark.index.validate import validate_index
+    from ela_lib_spark.sources.synth import synth_pages_df
+
+    idx_dir = os.path.join(tmp_root, "scatter_idx")
+    pages = synth_pages_df(spark, 900).cache()
+    m = build_index(spark, pages, idx_dir, n_buckets=64, n_shards=2,
+                    use_html=True)
+    res = validate_index(spark, idx_dir, deep=True)
+    assert res["ok"], res["checks"]
+    idx = load_index(spark, idx_dir)
+    doc_tokens = {
+        r.doc_id: list(r.tokens)
+        for r in ids_with_tokens(pages, 64, use_html=True).collect()
+    }
+    for terms, mode in ((["term0000", "term0002"], "AND"),
+                        (["term0001"], "OR"),
+                        (["term0004", "term0007", "term0010"], "AND"),
+                        (["term0003", "term0050"], "OR")):
+        got = [(r.doc_id, round(r.score, 9))
+               for r in wand_topk(idx, terms, mode, 10).collect()]
+        want = [(d, round(s, 9))
+                for d, s in brute_topk(doc_tokens, terms, mode, 10,
+                                       n_docs=m["n_docs"],
+                                       avg_dl=m["avg_dl"])]
+        assert got == want, (terms, mode)
