@@ -195,3 +195,77 @@ def test_scattered_bucket_merge_rank_identical(spark, tmp_root):
                                        n_docs=m["n_docs"],
                                        avg_dl=m["avg_dl"])]
         assert got == want, (terms, mode)
+
+
+def test_scattered_bucket_lifecycle_deep_fsck(spark, tmp_root):
+    """The interleaved-chunk ordering requirement must hold through
+    every maintenance path that re-merges postings (minor tier build,
+    major compaction, GC rewrite), not just the initial build. Each
+    step must leave a deep-fsck-clean index and exact rank-identity
+    vs the brute oracle over the live corpus."""
+    import os
+
+    from ela_lib_spark.index.build import build_index, load_index
+    from ela_lib_spark.index.validate import validate_index
+    from ela_lib_spark.sources.synth import synth_pages_df
+    from ela_lib_spark.streaming.incremental import apply_delta_batch, compact_index
+
+    idx_dir = os.path.join(tmp_root, "scatter_life_idx")
+    pages = synth_pages_df(spark, 1000).cache()
+    build_index(spark, pages.limit(860), idx_dir, n_buckets=64, n_shards=2,
+                use_html=True)
+    extra = pages.subtract(pages.limit(860))
+    apply_delta_batch(extra, 0, idx_dir, n_buckets=64, mode="upsert")
+    apply_delta_batch(pages.limit(30).select("url"), 1, idx_dir,
+                      n_buckets=64, mode="delete")
+
+    from ela_lib_spark.functions.text import extract_text, tokenize_col
+
+    def check(step, compare_flat):
+        res = validate_index(spark, idx_dir, deep=True)
+        assert res["ok"], (step, {k: v for k, v in res["checks"].items()
+                                  if not v["ok"]})
+        if not compare_flat:
+            # while tombstoned postings remain un-purged (pre-compact;
+            # minor, whose tier merge purges only the DELTA epochs it
+            # covers), per-term df still counts deleted docs — the
+            # documented Lucene-style stats approximation (idf skew
+            # until a purging merge), so the live-corpus flat recompute
+            # legitimately disagrees on scores; fsck-only here
+            return
+        idx = load_index(spark, idx_dir)
+        m = idx["manifest"]
+        # independent scorer over the LIVE corpus: tokens rebuilt from
+        # the raw pages, doc ids taken from the index's own live doc
+        # surface (covers delta docs' epoch-offset ids; excludes
+        # tombstoned urls)
+        live = idx["doc_stats"].select("doc_id", "url")
+        toks = (
+            pages.select(
+                "url",
+                tokenize_col(extract_text(F.col("html"))).alias("tokens"))
+            .join(live, "url").select("doc_id", "tokens")
+        )
+        flat = flat_postings(toks)
+        ds = idx["doc_stats"].select("doc_id", "doc_len")
+        for terms, mode in ((["term0000", "term0002"], "AND"),
+                            (["term0001"], "OR"),
+                            (["term0004", "term0010"], "AND")):
+            got = [(r.doc_id, round(r.score, 9))
+                   for r in wand_topk(idx, terms, mode, 10).collect()]
+            want = [(r.doc_id, round(r.score, 9))
+                    for r in bm25_topk_flat(
+                        flat, ds, m["n_docs"], m["avg_dl"], terms, mode, 10
+                    ).collect()]
+            assert got == want, (step, terms, mode, got[:3], want[:3])
+
+    check("pre-compact", compare_flat=False)
+    res = compact_index(spark, idx_dir, mode="minor")
+    assert res["mode"] == "minor"
+    check("minor", compare_flat=False)
+    res = compact_index(spark, idx_dir, mode="major")
+    assert res["mode"] == "major"
+    check("major", compare_flat=True)
+    res = compact_index(spark, idx_dir, mode="gc")
+    assert res["mode"] == "gc"
+    check("gc", compare_flat=True)
