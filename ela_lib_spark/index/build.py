@@ -1191,6 +1191,19 @@ def load_index(spark: SparkSession, out_dir: str,
         del_epochs = (manifest.get("delete_epochs", [])
                       if snapshot_id is not None else None)
         tomb = read_tombstones(spark, out_dir, del_epochs, manifest)
+        if del_epochs and tomb is None:
+            # the snapshot PINS delete epochs but its delete log is
+            # gone — treating that as "no tombstones" would silently
+            # resurrect deleted docs. Fail loudly instead (a crashed
+            # GC relocation is auto-repaired by the next maintenance
+            # op's _replay_relocations; otherwise the snapshot's data
+            # has been expired).
+            raise IndexCorruptError(
+                f"snapshot {snapshot_id!r} pins delete epochs "
+                f"{del_epochs} but its delete log is missing — run a "
+                "maintenance op to replay a crashed relocation, or "
+                "the snapshot has been expired"
+            )
         deleted_df = None
         if tomb is not None:
             doc_stats = doc_stats.join(tomb, "doc_id", "left_anti")

@@ -444,29 +444,62 @@ def _archive_literal_delta_dirs(index_dir: str, snapshot: str,
     the live tree into snapshots/archive/<gc-snapshot>/, then re-point
     every archived manifest still referencing the literal names at the
     copies. delta_chunks (merge input, never read by time travel) is
-    deleted outright."""
-    moved: dict[str, str] = {}
+    deleted outright.
+
+    Crash safety: a crash between the renames and the manifest
+    re-point would leave archived manifests referencing literal dirs
+    that no longer exist — and a missing delete log reads as "no
+    tombstones", i.e. silently WRONG time travel. So the planned moves
+    are journaled (.relocation.json inside the archive dir) BEFORE the
+    first rename, the journal is removed only after every manifest is
+    re-pointed, and `_replay_relocations` re-applies any pending
+    journal at the start of the next locked maintenance op. The
+    rewrite is idempotent (only fields still holding the literal name
+    are touched). load_index additionally refuses to time-travel a
+    snapshot whose pinned delete epochs cannot be resolved."""
+    moved: dict[str, tuple[str, str]] = {}
     arch_root = os.path.join(index_dir, "snapshots", "archive", snapshot)
+    plan: dict[str, tuple[str, str]] = {}
     for literal, field in (("delta_deletes", "delta_deletes_dir"),
                           ("delta_doc_stats", "delta_doc_stats_live_dir")):
         src = os.path.join(index_dir, literal)
         if not os.path.exists(src):
             continue
         if literal in protected:
-            os.makedirs(arch_root, exist_ok=True)
-            dst = os.path.join(arch_root, literal)
-            os.rename(src, dst)
-            moved[literal] = (field,
-                              os.path.relpath(dst, index_dir))
+            plan[literal] = (field, os.path.relpath(
+                os.path.join(arch_root, literal), index_dir))
         else:
             shutil.rmtree(src, ignore_errors=True)
+    if plan:
+        os.makedirs(arch_root, exist_ok=True)
+        jpath = os.path.join(arch_root, ".relocation.json")
+        jtmp = jpath + ".tmp"
+        with open(jtmp, "w") as f:
+            json.dump({"skip": snapshot,
+                       "moves": {lit: {"field": fld, "rel": rel}
+                                 for lit, (fld, rel) in plan.items()}}, f)
+        os.replace(jtmp, jpath)
+        for literal, (field, rel) in plan.items():
+            src = os.path.join(index_dir, literal)
+            if os.path.exists(src):  # replay-safe: may already be moved
+                os.rename(src, os.path.join(index_dir, rel))
+            moved[literal] = (field, rel)
     shutil.rmtree(os.path.join(index_dir, "delta_chunks"),
                   ignore_errors=True)
     if not moved:
         return
+    _repoint_archived_manifests(index_dir, snapshot, moved)
+    try:
+        os.remove(os.path.join(arch_root, ".relocation.json"))
+    except OSError:
+        pass
+
+
+def _repoint_archived_manifests(index_dir: str, skip_snapshot: str | None,
+                                moved: dict[str, tuple[str, str]]) -> None:
     sdir = os.path.join(index_dir, "snapshots")
     for e in os.listdir(sdir):
-        if not e.endswith(".json") or e == f"{snapshot}.json":
+        if not e.endswith(".json") or e == f"{skip_snapshot}.json":
             continue
         p = os.path.join(sdir, e)
         try:
@@ -484,6 +517,42 @@ def _archive_literal_delta_dirs(index_dir: str, snapshot: str,
             with open(tmp, "w") as f:
                 json.dump(sm, f, indent=1)
             os.replace(tmp, p)
+
+
+def _replay_relocations(index_dir: str) -> int:
+    """Finish any relocation a crashed GC left half-done (journal
+    present). Idempotent; runs under the maintenance lock. Returns the
+    number of journals replayed."""
+    arch = os.path.join(index_dir, "snapshots", "archive")
+    if not os.path.isdir(arch):
+        return 0
+    replayed = 0
+    for gen in os.listdir(arch):
+        jpath = os.path.join(arch, gen, ".relocation.json")
+        if not os.path.exists(jpath):
+            continue
+        try:
+            with open(jpath) as f:
+                journal = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        moved = {}
+        for literal, spec in journal.get("moves", {}).items():
+            src = os.path.join(index_dir, literal)
+            dst = os.path.join(index_dir, spec["rel"])
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.rename(src, dst)
+            if os.path.exists(dst):
+                moved[literal] = (spec["field"], spec["rel"])
+        if moved:
+            _repoint_archived_manifests(index_dir, journal.get("skip"),
+                                        moved)
+        try:
+            os.remove(jpath)
+        except OSError:
+            pass
+        replayed += 1
+    return replayed
 
 
 def set_snapshot_retention(index_dir: str, keep_last: int) -> dict:
@@ -521,6 +590,7 @@ def expire_snapshots(index_dir: str, keep_last: int | None = None) -> dict:
     )
 
     with _maintenance_lock(index_dir):
+        _replay_relocations(index_dir)
         manifest = read_manifest(index_dir)
         if manifest is None:
             raise IndexNotFoundError(f"no manifest.json under {index_dir!r}")
@@ -1285,6 +1355,7 @@ def gc_index(spark: SparkSession, index_dir: str,
     rewrite itself and _maintenance_lock for the exclusion rationale
     (a concurrent compaction would race the manifest flip)."""
     with _maintenance_lock(index_dir):
+        _replay_relocations(index_dir)
         return _gc_index_impl(spark, index_dir, n_shards=n_shards,
                               driver_tombstone_cap=driver_tombstone_cap,
                               cogroup_salts=cogroup_salts)
@@ -1307,6 +1378,7 @@ def compact_index(
     excludes that. Raises MaintenanceLockError if maintenance is
     already running on this index."""
     with _maintenance_lock(index_dir):
+        _replay_relocations(index_dir)
         return _compact_index_impl(
             spark, index_dir, n_shards=n_shards, mode=mode,
             major_after_tiers=major_after_tiers,

@@ -137,3 +137,54 @@ def test_expire_cli_verbs(tmp_root, spark):
     # only the live snapshot remains in history
     m = read_manifest(idx_dir)
     assert m["history"] == [m["snapshot_id"]]
+
+
+def test_crashed_relocation_is_loud_then_replayed(spark, tmp_root, monkeypatch):
+    """Crash window between GC's delta-dir renames and the archived-
+    manifest re-point: a snapshot that PINS delete epochs must refuse
+    to load (silently reading "no tombstones" would resurrect deleted
+    docs), and the next locked maintenance op must replay the journal,
+    after which the snapshot serves rank-identically again."""
+    import ela_lib_spark.streaming.incremental as inc
+    from ela_lib_spark.errors import IndexCorruptError
+
+    idx_dir = os.path.join(tmp_root, "crash_reloc_idx")
+    pages = synth_pages_df(spark, 140).cache()
+    build_index(spark, pages.limit(120), idx_dir, n_buckets=4, n_shards=2)
+    set_snapshot_retention(idx_dir, keep_last=4)
+    apply_delta_batch(pages.subtract(pages.limit(120)), 0, idx_dir,
+                      n_buckets=4, mode="upsert")
+    apply_delta_batch(pages.limit(10).select("url"), 1, idx_dir,
+                      n_buckets=4, mode="delete")
+    res = compact_index(spark, idx_dir, mode="minor")
+    assert res["mode"] == "minor"
+    s2 = read_manifest(idx_dir)["snapshot_id"]
+    assert read_manifest(idx_dir)["delete_epochs"]  # s2 pins deletes
+    before = _topk(spark, idx_dir, snapshot_id=s2)
+
+    real = inc._repoint_archived_manifests
+    monkeypatch.setattr(
+        inc, "_repoint_archived_manifests",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")))
+    with pytest.raises(RuntimeError, match="injected"):
+        gc_index(spark, idx_dir, n_shards=2)
+    monkeypatch.setattr(inc, "_repoint_archived_manifests", real)
+
+    # GC committed (manifest flipped) but the relocation journal is
+    # pending: the literal delete log is gone, s2's manifest still
+    # points at it — loading s2 must be LOUD, not silently wrong
+    assert os.path.exists(os.path.join(
+        idx_dir, "snapshots", "archive",
+        read_manifest(idx_dir)["snapshot_id"], ".relocation.json"))
+    with pytest.raises(IndexCorruptError, match="delete log is missing"):
+        load_index(spark, idx_dir, snapshot_id=s2)
+
+    # any locked maintenance op replays the journal (no-op compact)
+    res = compact_index(spark, idx_dir, mode="minor")
+    assert res["compacted_epochs"] == 0
+    assert _topk(spark, idx_dir, snapshot_id=s2) == before
+    # journal consumed; live index unaffected throughout
+    arch = os.path.join(idx_dir, "snapshots", "archive")
+    assert not any(".relocation.json" in files
+                   for _, _, files in os.walk(arch))
+    assert load_index(spark, idx_dir)["manifest"]["n_docs"] == 130
