@@ -156,7 +156,8 @@ def test_wand_min_match_rank_identical(spark, index, corpus_tokens):
     assert wand_topk(index, terms, "OR", 10, min_match=4).count() == 0
 
 
-def test_scattered_bucket_merge_rank_identical(spark, tmp_root):
+@pytest.mark.parametrize("codec", ["varint", "pfor"])
+def test_scattered_bucket_merge_rank_identical(spark, tmp_root, codec):
     """Regression (r5): the docs table is HASH-partitioned by bucket,
     so with n_buckets ≫ partitions each read split's chunk covers a
     scattered bucket subset whose doc-id range interleaves other
@@ -166,17 +167,20 @@ def test_scattered_bucket_merge_rank_identical(spark, tmp_root):
     measured at 20k docs / 256 buckets, 4/4 probe queries (AND and OR)
     returned WRONG top-k. This test builds at a bucket:partition ratio
     that forces the interleave and asserts (a) a clean deep fsck and
-    (b) exact rank-identity vs the brute oracle."""
+    (b) exact rank-identity vs the brute oracle. Parametrized over
+    both codecs: the varint path sorts in the batch-vectorized kernel,
+    PFor in the per-group kernel — separate code paths, same
+    requirement."""
     import os
 
     from ela_lib_spark.index.build import build_index, ids_with_tokens, load_index
     from ela_lib_spark.index.validate import validate_index
     from ela_lib_spark.sources.synth import synth_pages_df
 
-    idx_dir = os.path.join(tmp_root, "scatter_idx")
+    idx_dir = os.path.join(tmp_root, f"scatter_idx_{codec}")
     pages = synth_pages_df(spark, 900).cache()
     m = build_index(spark, pages, idx_dir, n_buckets=64, n_shards=2,
-                    use_html=True)
+                    use_html=True, codec=codec)
     res = validate_index(spark, idx_dir, deep=True)
     assert res["ok"], res["checks"]
     idx = load_index(spark, idx_dir)
