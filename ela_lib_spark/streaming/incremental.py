@@ -578,9 +578,20 @@ def expire_snapshots(index_dir: str, keep_last: int | None = None) -> dict:
     snapshot always survives) and free every data dir only expired
     snapshots referenced. Runs under the maintenance lock — it deletes
     data dirs and must not race a concurrent compaction's cleanup.
+    GC / compaction with retention configured also auto-enforce the
+    window at commit (gc_index / compact_index), so disk stays bounded
+    without a separate operator schedule; this entry point remains for
+    manual shrinks (`snapshots expire --keep N`).
 
     Reference analog: the import manifest's pinned-files model
     (service/task/migrator.go:1566-1580) + Iceberg expire_snapshots."""
+    with _maintenance_lock(index_dir):
+        _replay_relocations(index_dir)
+        return _expire_snapshots_impl(index_dir, keep_last)
+
+
+def _expire_snapshots_impl(index_dir: str,
+                           keep_last: int | None = None) -> dict:
     import re
 
     from ela_lib_spark.errors import IndexNotFoundError
@@ -589,74 +600,72 @@ def expire_snapshots(index_dir: str, keep_last: int | None = None) -> dict:
         rewrite_manifest_in_place,
     )
 
-    with _maintenance_lock(index_dir):
-        _replay_relocations(index_dir)
-        manifest = read_manifest(index_dir)
-        if manifest is None:
-            raise IndexNotFoundError(f"no manifest.json under {index_dir!r}")
-        if keep_last is None:
-            keep_last = int(manifest.get("retention_keep_snapshots", 0) or 0)
-        keep_last = max(1, int(keep_last))
-        hist = list(manifest.get("history", []))
-        live_sid = manifest.get("snapshot_id")
-        keep_ids = set(hist[-keep_last:])
-        if live_sid:
-            keep_ids.add(live_sid)
-        expired = [s for s in hist if s not in keep_ids]
-        sdir = os.path.join(index_dir, "snapshots")
-        for sid in expired:
-            for victim in (_snapshot_path(index_dir, sid),
-                           os.path.join(sdir, f"{sid}-ledger")):
-                if os.path.isdir(victim):
-                    shutil.rmtree(victim, ignore_errors=True)
-                elif os.path.exists(victim):
-                    os.remove(victim)
+    manifest = read_manifest(index_dir)
+    if manifest is None:
+        raise IndexNotFoundError(f"no manifest.json under {index_dir!r}")
+    if keep_last is None:
+        keep_last = int(manifest.get("retention_keep_snapshots", 0) or 0)
+    keep_last = max(1, int(keep_last))
+    hist = list(manifest.get("history", []))
+    live_sid = manifest.get("snapshot_id")
+    keep_ids = set(hist[-keep_last:])
+    if live_sid:
+        keep_ids.add(live_sid)
+    expired = [s for s in hist if s not in keep_ids]
+    sdir = os.path.join(index_dir, "snapshots")
+    for sid in expired:
+        for victim in (_snapshot_path(index_dir, sid),
+                       os.path.join(sdir, f"{sid}-ledger")):
+            if os.path.isdir(victim):
+                shutil.rmtree(victim, ignore_errors=True)
+            elif os.path.exists(victim):
+                os.remove(victim)
 
-        survivors = [manifest]
-        for sid in keep_ids:
-            p = _snapshot_path(index_dir, sid)
-            if os.path.exists(p):
-                with open(p) as f:
-                    survivors.append(json.load(f))
-        referenced = {
-            os.path.abspath(os.path.join(index_dir, n))
-            for n in _referenced_dir_names(survivors)
-        }
+    survivors = [manifest]
+    for sid in keep_ids:
+        p = _snapshot_path(index_dir, sid)
+        if os.path.exists(p):
+            with open(p) as f:
+                survivors.append(json.load(f))
+    referenced = {
+        os.path.abspath(os.path.join(index_dir, n))
+        for n in _referenced_dir_names(survivors)
+    }
 
-        freed: list[str] = []
-        # archive copies only expired snapshots pointed at
-        arch = os.path.join(sdir, "archive")
-        if os.path.isdir(arch):
-            for gen in os.listdir(arch):
-                gdir = os.path.join(arch, gen)
-                for name in (os.listdir(gdir) if os.path.isdir(gdir) else []):
-                    p = os.path.join(gdir, name)
-                    if os.path.abspath(p) not in referenced:
-                        shutil.rmtree(p, ignore_errors=True)
-                        freed.append(os.path.relpath(p, index_dir))
-                if os.path.isdir(gdir) and not os.listdir(gdir):
-                    os.rmdir(gdir)
-        # superseded top-level artifact dirs nothing references any
-        # more. Only the known artifact families are candidates, and
-        # the literal live-ingest dirs are NEVER candidates (they hold
-        # un-GC'd live data by definition).
-        fam = re.compile(
-            r"^(postings|chunks|docs|delta_doc_stats|ledger|corpus_stats)"
-            r"(-|$)"
-        )
-        live_literals = {"delta_chunks", "delta_deletes", "delta_doc_stats",
-                         "snapshots"}
-        for e in os.listdir(index_dir):
-            p = os.path.join(index_dir, e)
-            if (e in live_literals or not os.path.isdir(p)
-                    or not fam.match(e)):
-                continue
-            if os.path.abspath(p) not in referenced:
-                shutil.rmtree(p, ignore_errors=True)
-                freed.append(e)
+    freed: list[str] = []
+    # archive copies only expired snapshots pointed at
+    arch = os.path.join(sdir, "archive")
+    if os.path.isdir(arch):
+        for gen in os.listdir(arch):
+            gdir = os.path.join(arch, gen)
+            for name in (os.listdir(gdir) if os.path.isdir(gdir) else []):
+                p = os.path.join(gdir, name)
+                if os.path.abspath(p) not in referenced:
+                    shutil.rmtree(p, ignore_errors=True)
+                    freed.append(os.path.relpath(p, index_dir))
+            if os.path.isdir(gdir) and not os.listdir(gdir):
+                os.rmdir(gdir)
+    # superseded top-level artifact dirs nothing references any
+    # more. Only the known artifact families are candidates, and
+    # the literal live-ingest dirs are NEVER candidates (they hold
+    # un-GC'd live data by definition).
+    fam = re.compile(
+        r"^(postings|chunks|docs|delta_doc_stats|ledger|corpus_stats)"
+        r"(-|$)"
+    )
+    live_literals = {"delta_chunks", "delta_deletes", "delta_doc_stats",
+                     "snapshots"}
+    for e in os.listdir(index_dir):
+        p = os.path.join(index_dir, e)
+        if (e in live_literals or not os.path.isdir(p)
+                or not fam.match(e)):
+            continue
+        if os.path.abspath(p) not in referenced:
+            shutil.rmtree(p, ignore_errors=True)
+            freed.append(e)
 
-        manifest["history"] = [s for s in hist if s in keep_ids]
-        rewrite_manifest_in_place(index_dir, manifest)
+    manifest["history"] = [s for s in hist if s in keep_ids]
+    rewrite_manifest_in_place(index_dir, manifest)
     return {"expired": expired, "freed": sorted(freed),
             "kept": manifest["history"]}
 
@@ -1347,6 +1356,22 @@ def _compact_index_impl(
     }
 
 
+def _auto_expire(index_dir: str, res: dict) -> None:
+    """Enforce the configured retention window at every maintenance
+    commit (caller holds the lock): snapshots beyond keep-last-N and
+    the dirs only they referenced are freed right away, so retention
+    bounds disk without a separate operator schedule. No-op without
+    the manifest setting. Mutates `res` with the expiry summary."""
+    from ela_lib_spark.index.build import read_manifest
+
+    manifest = read_manifest(index_dir) or {}
+    if int(manifest.get("retention_keep_snapshots", 0) or 0) <= 0:
+        return
+    out = _expire_snapshots_impl(index_dir, None)
+    if out["expired"]:
+        res["expired_snapshots"] = out["expired"]
+
+
 def gc_index(spark: SparkSession, index_dir: str,
              n_shards: int | None = None,
              driver_tombstone_cap: int | None = None,
@@ -1356,9 +1381,11 @@ def gc_index(spark: SparkSession, index_dir: str,
     (a concurrent compaction would race the manifest flip)."""
     with _maintenance_lock(index_dir):
         _replay_relocations(index_dir)
-        return _gc_index_impl(spark, index_dir, n_shards=n_shards,
-                              driver_tombstone_cap=driver_tombstone_cap,
-                              cogroup_salts=cogroup_salts)
+        res = _gc_index_impl(spark, index_dir, n_shards=n_shards,
+                             driver_tombstone_cap=driver_tombstone_cap,
+                             cogroup_salts=cogroup_salts)
+        _auto_expire(index_dir, res)
+        return res
 
 
 def compact_index(
@@ -1379,10 +1406,12 @@ def compact_index(
     already running on this index."""
     with _maintenance_lock(index_dir):
         _replay_relocations(index_dir)
-        return _compact_index_impl(
+        res = _compact_index_impl(
             spark, index_dir, n_shards=n_shards, mode=mode,
             major_after_tiers=major_after_tiers,
             gc_after_deleted_frac=gc_after_deleted_frac,
             tombstone_gc_cap=tombstone_gc_cap,
             driver_tombstone_cap=driver_tombstone_cap,
         )
+        _auto_expire(index_dir, res)
+        return res

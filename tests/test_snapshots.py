@@ -188,3 +188,24 @@ def test_crashed_relocation_is_loud_then_replayed(spark, tmp_root, monkeypatch):
     assert not any(".relocation.json" in files
                    for _, _, files in os.walk(arch))
     assert load_index(spark, idx_dir)["manifest"]["n_docs"] == 130
+
+
+def test_auto_expire_enforces_window_at_gc(spark, tmp_root):
+    """With retention configured, GC itself enforces the keep-last-N
+    window at commit: snapshots beyond it are expired and their dirs
+    freed without a separate expire call — disk stays bounded by
+    policy, not by operator discipline."""
+    idx_dir = os.path.join(tmp_root, "auto_expire_idx")
+    pages = synth_pages_df(spark, 140).cache()
+    build_index(spark, pages.limit(120), idx_dir, n_buckets=4, n_shards=2)
+    set_snapshot_retention(idx_dir, keep_last=1)
+    s1 = read_manifest(idx_dir)["snapshot_id"]
+    apply_delta_batch(pages.subtract(pages.limit(120)), 0, idx_dir,
+                      n_buckets=4, mode="upsert")
+    res = gc_index(spark, idx_dir, n_shards=2)
+    assert s1 in res.get("expired_snapshots", [])
+    with pytest.raises(IndexNotFoundError):
+        load_index(spark, idx_dir, snapshot_id=s1)
+    entries = set(os.listdir(idx_dir))
+    assert "postings" not in entries and "docs" not in entries
+    assert load_index(spark, idx_dir)["manifest"]["n_docs"] == 140
