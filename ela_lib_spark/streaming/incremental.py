@@ -640,6 +640,10 @@ def _expire_snapshots_impl(index_dir: str,
             gdir = os.path.join(arch, gen)
             for name in (os.listdir(gdir) if os.path.isdir(gdir) else []):
                 p = os.path.join(gdir, name)
+                # skip plain files (e.g. a pending .relocation.json —
+                # replay, which ran first under this lock, owns it)
+                if not os.path.isdir(p):
+                    continue
                 if os.path.abspath(p) not in referenced:
                     shutil.rmtree(p, ignore_errors=True)
                     freed.append(os.path.relpath(p, index_dir))
