@@ -789,7 +789,10 @@ def _gc_transform(pdf, deleted, decrements: dict) -> list:
     import numpy as np
     import pandas as pd
 
-    from ela_lib_spark.index.build import METRICS_TERM_ID
+    from ela_lib_spark.index.build import (
+        METRICS_TERM_ID,
+        _METRICS_N_TOKENS_COL,
+    )
     from ela_lib_spark.index.codecs import (
         varint_decode,
         varint_encode_segmented,
@@ -805,7 +808,8 @@ def _gc_transform(pdf, deleted, decrements: dict) -> list:
         dt = np.array([decrements.get(int(b), (0, 0))[1]
                        for b in m["part_id"]], np.int64)
         m["n_docs"] = m["n_docs"].to_numpy(np.int64) - dn
-        m["first_doc_id"] = m["first_doc_id"].to_numpy(np.int64) - dt
+        m[_METRICS_N_TOKENS_COL] = (
+            m[_METRICS_N_TOKENS_COL].to_numpy(np.int64) - dt)
         out_parts.append(m)
     c = pdf[~is_m]
     if len(c) and (deleted is None or len(deleted) == 0):
