@@ -853,6 +853,7 @@ def main():
             "reps_hi": reps_hi,
             "valid_reps": valid,
             "cpu_outlier_pct": CPU_OUTLIER_PCT,
+            "cpu_growth_outlier_pct": CPU_GROWTH_OUTLIER_PCT,
         }
         me = os.path.dirname(os.path.abspath(__file__))
         try:
