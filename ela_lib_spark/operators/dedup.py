@@ -65,10 +65,7 @@ def lsh_candidate_pairs(
     Scale guard: a degenerate bucket of n docs yields n²/2 pairs, so
     buckets over `max_bucket_size` are dropped (a bucket that large is
     a boilerplate cluster; its members still pair up through their
-    other, more selective bands). The guard is a window count over the
-    (band, bh) partitioning the self-join needs anyway — one shuffle
-    of the banded rows, and Catalyst reuses the exchange for both join
-    sides (vs r4's groupBy-sizes + join: two passes over stacked).
+    other, more selective bands).
 
     `carry_sig=True` carries the full signature array through the band
     explode so the caller can verify est-Jaccard directly on the join
@@ -81,9 +78,22 @@ def lsh_candidate_pairs(
     for the key-only candidate stream. Output rows are NOT
     deduplicated across bands when carry_sig=True (duplicate (a, b)
     rows carry identical sigs, so verification filters first and
-    dedups the much smaller surviving set)."""
-    from pyspark.sql import Window
+    dedups the much smaller surviving set).
 
+    Collision pruning (r5, replaces r4's window-count guard): bucket
+    sizes come from a KEY-ONLY projection of the banded frame (~28 B
+    per (doc, band) row), and only buckets with 2..max_bucket_size
+    members survive into `colliding`. The heavy sig-carrying frame is
+    then inner-joined against that set — in the common sparse-dup case
+    `colliding` is tiny, AQE converts the join to a broadcast at
+    runtime, and the sig frame is NEVER shuffled for the guard (r4's
+    window shape Exchange+Sort+Window'd the full sig frame on BOTH
+    join sides — measured 4.4 s of the 7.3 s warm total at sf0.1).
+    On a collision-heavy corpus where `colliding` outgrows the
+    broadcast threshold, AQE keeps the shuffle join — still no worse
+    than the window shape, so the plan degrades gracefully at 100 TB.
+    Dropping singleton buckets is output-invariant: a bucket of one
+    doc can never produce a pair."""
     cols = [key, "sig"] if carry_sig else [key]
     banded = sigs.select(*cols, *band_cols(F.col("sig"), num_bands, rows_per_band))
     stacked = banded.selectExpr(
@@ -92,12 +102,14 @@ def lsh_candidate_pairs(
             num_bands, ", ".join(f"{b}, band_{b}" for b in range(num_bands))
         ),
     )
-    w = Window.partitionBy("band", "bh")
-    stacked = (
-        stacked.withColumn("_n", F.count("*").over(w))
-        .filter(F.col("_n") <= max_bucket_size)
+    colliding = (
+        stacked.select("band", "bh")
+        .groupBy("band", "bh")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
         .drop("_n")
     )
+    stacked = stacked.join(colliding, ["band", "bh"])
     if carry_sig:
         l = stacked.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"),
                            "band", "bh")
@@ -333,19 +345,30 @@ def simhash_near_dup_pairs(
             for k, expr in pair_keys
         ])).alias("pk"),
     ).select(key, "simhash", F.col("pk.kid").alias("kid"), F.col("pk.kval").alias("kval"))
-    sizes = stacked.groupBy("kid", "kval").agg(F.count("*").alias("_n"))
+    # Collision pruning (r5, same rationale as lsh_candidate_pairs):
+    # only buckets with 2..max_bucket_size members can yield a pair,
+    # and that set is small enough for AQE to broadcast in the sparse
+    # case — the (key, simhash)-carrying frame is never shuffled for
+    # the guard. Exact-hamming filter runs BEFORE the distinct so the
+    # dedup barrier sees only true near-dup edges, not every bucket
+    # collision.
+    sizes = stacked.select("kid", "kval").groupBy("kid", "kval").agg(
+        F.count("*").alias("_n")
+    )
     stacked = stacked.join(
-        sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"), ["kid", "kval"]
+        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+        .drop("_n"),
+        ["kid", "kval"],
     )
     l = stacked.select(F.col(key).alias("a"), F.col("simhash").alias("ha"), "kid", "kval")
     r = stacked.select(F.col(key).alias("b"), F.col("simhash").alias("hb"), "kid", "kval")
-    cand = (
+    return (
         l.join(r, ["kid", "kval"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb").distinct()
+        .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
     )
-    return cand.withColumn("hamming", hamming64(F.col("ha"), F.col("hb"))).filter(
-        F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")
 
 
 def winnow_overlap_pairs(
@@ -365,9 +388,14 @@ def winnow_overlap_pairs(
 
     fp = winnow_fingerprints(df, key=key, text_col=text_col, k=k, w=w)
     ex = fp.select(key, F.explode("fingerprints").alias("fp"))
-    if max_fp_df is not None:
-        dfreq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
-        ex = ex.join(dfreq.filter(F.col("_df") <= max_fp_df).drop("_df"), "fp")
+    # Shared-key pruning (r5): a fingerprint in exactly one doc can't
+    # contribute to any pair, so only df ≥ 2 keys enter the self-join —
+    # the surviving frame is small enough for AQE to broadcast in the
+    # sparse case. Output-invariant (pair counts only see shared fps).
+    keep = (F.col("_df") >= 2) if max_fp_df is None \
+        else (F.col("_df") >= 2) & (F.col("_df") <= max_fp_df)
+    dfreq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
+    ex = ex.join(dfreq.filter(keep).drop("_df"), "fp")
     l = ex.select(F.col(key).alias("a"), "fp")
     r = ex.select(F.col(key).alias("b"), "fp")
     return (
@@ -397,9 +425,14 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select(key, F.size("sh").alias("n_sh"))
     ex = sh.select(key, F.explode("sh").alias("g"))
-    if max_shingle_df is not None:
-        dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
-        ex = ex.join(dfreq.filter(F.col("_df") <= max_shingle_df).drop("_df"), "g")
+    # Shared-key pruning (r5): singleton shingles can't contribute to
+    # any intersection — drop them before the self-join (|A|/|B| come
+    # from `sizes`, computed on the FULL shingle sets, so the Jaccard
+    # denominator is unaffected). Output-invariant.
+    keep = (F.col("_df") >= 2) if max_shingle_df is None \
+        else (F.col("_df") >= 2) & (F.col("_df") <= max_shingle_df)
+    dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
+    ex = ex.join(dfreq.filter(keep).drop("_df"), "g")
     l = ex.select(F.col(key).alias("a"), "g")
     r = ex.select(F.col(key).alias("b"), "g")
     common = (
