@@ -832,8 +832,11 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
                 f"snapshot id {snap!r} already archived in {sdir!r} — "
                 "snapshot ids must be unique (use new_snapshot_id)"
             )
-        with open(spath, "w") as f:
+        # tmp+replace: a crash mid-write must not leave a truncated
+        # snapshot JSON for retention's json.load to trip over forever
+        with open(spath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(spath + ".tmp", spath)
         ledger_dir = os.path.join(out_dir, manifest.get("ledger_dir") or "ledger")
         if os.path.exists(ledger_dir):
             import shutil

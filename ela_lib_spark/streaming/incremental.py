@@ -50,26 +50,27 @@ class _maintenance_lock:
     excludes. Delta ingestion needs no lock (epoch dirs are disjoint
     and compaction only covers epochs it has already listed).
 
-    Mechanics: O_CREAT|O_EXCL lock file holding (pid, process
-    start-time). Liveness = pid alive AND its /proc start-time matches
-    the recorded one, so a recycled pid (post-reboot or wraparound)
-    cannot masquerade as a live holder and wedge maintenance. A stale
-    lock is stolen via an atomic os.rename to a unique name — only one
-    of N concurrent stealers wins the rename (review r4: an
-    unconditional remove let two stealers each delete-and-recreate,
-    admitting two writers) — and the steal is then VERIFIED against
-    the stolen file's frozen contents (ADVICE r4: between the
-    staleness check and the rename, a faster rival can complete its
-    own steal AND re-create a fresh live lock; the unconditional
-    rename would rip that live lock out). If the stolen contents
-    re-check as live, the stealer hard-links them back (link fails
-    rather than clobbering if yet another lock has appeared) and
-    retries as a loser. __exit__ removes the lock only when the path
-    still resolves to OUR fd's inode, so a holder whose lock was
-    legitimately stolen (it was judged dead) cannot delete the new
-    holder's lock. Single-host semantics — on a real cluster the
-    analog is a catalog/ZooKeeper/DynamoDB conditional-put lock,
-    swapped in here."""
+    Mechanics: an exclusive kernel flock on the lock file, held for
+    the fd's lifetime. The kernel releases the lock the instant the
+    holder's last fd closes — including crash, kill -9, or OOM — so
+    liveness is kernel-verified and there is NO stale-lock state, no
+    pid/start-time heuristic, and no steal protocol at all. (r4/r5
+    history: the previous O_EXCL + pid-liveness + rename-steal design
+    accumulated three reviewed races — double-delete, rename-away of a
+    fresh rival lock, and an EEXIST hole in the restore path — all of
+    which were narrowings of one irreducible TOCTOU that flock simply
+    does not have. flock conflicts even between two fds of the same
+    process, so re-entrant acquisition correctly fails loudly.)
+
+    The lock file's (pid, process start-time) contents are purely
+    diagnostic, for the "already running" error message. Unlink-vs-
+    open race (the classic flock pitfall once the file is removed on
+    release): after a successful flock the acquirer re-verifies that
+    the path still resolves to its fd's inode and retries otherwise,
+    so a winner on a just-unlinked inode can never coexist with a
+    winner on the recreated file. Single-host semantics — on a real
+    cluster the analog is a catalog/ZooKeeper/DynamoDB conditional-put
+    lock, swapped in here."""
 
     def __init__(self, index_dir: str):
         self.path = os.path.join(index_dir, ".maintenance.lock")
@@ -78,113 +79,67 @@ class _maintenance_lock:
     @staticmethod
     def _proc_start(pid: int) -> str | None:
         """Kernel start-time ticks of `pid` (stable identity for the
-        process's lifetime), or None if unreadable."""
+        process's lifetime), or None if unreadable. Diagnostic only."""
         try:
             with open(f"/proc/{pid}/stat") as f:
                 return f.read().rsplit(") ", 1)[1].split()[19]
         except (OSError, IndexError):
             return None
 
-    @classmethod
-    def _lock_live(cls, parts: list[str]) -> bool:
-        """Liveness of a lock file's tokenized contents: recorded pid
-        alive AND (when recorded) its start-time matches, so a
-        recycled pid cannot read as live. Corrupt contents read as
-        dead (steal-able: only operator intervention produces them)."""
-        try:
-            pid = int(parts[0])
-        except (ValueError, IndexError):
-            return False
-        started = parts[1] if len(parts) > 1 else "-"
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            pass
-        if started != "-":
-            return cls._proc_start(pid) == started
-        return True
-
     def __enter__(self):
-        import errno
+        import fcntl
 
-        for _ in range(3):  # retries after losing a steal race
-            try:
-                self.fd = os.open(self.path,
-                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                me = os.getpid()
-                os.write(self.fd,
-                         f"{me} {self._proc_start(me) or '-'}\n".encode())
-                return self
-            except OSError as e:
-                if e.errno != errno.EEXIST:
-                    raise
-                try:
-                    with open(self.path) as f:
-                        parts = f.read().split()
-                except OSError:
-                    parts = []
-                if self._lock_live(parts):
-                    from ela_lib_spark.errors import MaintenanceLockError
-
-                    pid = parts[0] if parts else "?"
-                    raise MaintenanceLockError(
-                        f"maintenance already running on this index "
-                        f"(pid {pid}, {self.path})"
-                    )
-                # stale: steal via atomic rename — exactly one stealer
-                # wins; losers loop and see the winner's fresh lock
-                stolen = self.path + f".stale-{os.getpid()}"
-                try:
-                    os.rename(self.path, stolen)
-                except OSError:
-                    continue  # someone else won the rename — retry
-                # TOCTOU guard (ADVICE r4): the rename froze whatever
-                # was at self.path — re-check THOSE contents. If a
-                # rival finished its own steal and re-created a fresh
-                # live lock inside our check→rename window, we just
-                # renamed away a LIVE lock: hard-link it back (link
-                # raises EEXIST instead of clobbering if a third
-                # acquirer has already re-created the path — same
-                # inode, so the displaced holder's __exit__ ownership
-                # check still matches after restore) and retry as a
-                # loser. Stale/corrupt contents confirm the steal.
-                try:
-                    with open(stolen) as f:
-                        got = f.read().split()
-                except OSError:
-                    got = []
-                if self._lock_live(got):
-                    try:
-                        os.link(stolen, self.path)
-                    except OSError:
-                        pass
-                    try:
-                        os.remove(stolen)
-                    except OSError:
-                        pass
-                    continue
-                try:
-                    os.remove(stolen)
-                except OSError:
-                    pass
         from ela_lib_spark.errors import MaintenanceLockError
 
+        for _ in range(8):  # retries after losing an unlink race
+            fd = os.open(self.path, os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                # kernel says a live holder exists RIGHT NOW
+                try:
+                    with open(self.path) as f:
+                        pid = (f.read().split() or ["?"])[0]
+                except OSError:
+                    pid = "?"
+                os.close(fd)
+                raise MaintenanceLockError(
+                    f"maintenance already running on this index "
+                    f"(pid {pid}, {self.path})"
+                ) from None
+            # we hold the flock — but a releasing holder may have
+            # unlinked this inode between our open and our flock, and
+            # a third process may have recreated the path. Hold the
+            # lock only if the path is still OUR inode.
+            try:
+                same = os.stat(self.path).st_ino == os.fstat(fd).st_ino
+            except OSError:
+                same = False
+            if not same:
+                os.close(fd)
+                continue
+            me = os.getpid()
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{me} {self._proc_start(me) or '-'}\n".encode())
+            self.fd = fd
+            return self
         raise MaintenanceLockError(f"could not acquire {self.path}")
 
     def __exit__(self, *exc):
         if self.fd is not None:
+            fd, self.fd = self.fd, None
             try:
-                # remove only OUR lock: if it was stolen (we were
-                # judged dead — e.g. a long GC pause) the path now
-                # holds the new writer's lock, which must survive
-                if os.stat(self.path).st_ino == os.fstat(self.fd).st_ino:
-                    os.remove(self.path)
-            except FileNotFoundError:
-                pass
-            os.close(self.fd)
-            self.fd = None
+                # unlink while still holding the flock: a waiter that
+                # already opened this inode will acquire after our
+                # close, fail the inode re-verify, and retry on the
+                # fresh path
+                try:
+                    if os.stat(self.path).st_ino == os.fstat(fd).st_ino:
+                        os.remove(self.path)
+                except OSError:
+                    pass
+            finally:
+                os.close(fd)  # releases the kernel lock
 
 
 def _existing_doc_dict(spark, index_dir: str,
@@ -404,6 +359,35 @@ def _snapshot_path(index_dir: str, sid: str) -> str:
     return os.path.join(index_dir, "snapshots", f"{sid}.json")
 
 
+def _load_archived_snapshot(index_dir: str, sid: str) -> dict | None:
+    """Read one archived snapshot manifest, or None if absent. A
+    CORRUPT file (operator damage — write_manifest archives via
+    tmp+replace) is moved aside to <sid>.json.corrupt with a loud
+    warning instead of raising: one bad snapshot must not permanently
+    wedge every retention-enabled maintenance op, and an unreadable
+    manifest can't be time-traveled to anyway, so treating it as
+    expired is the consistent outcome (the evidence file is kept)."""
+    import warnings
+
+    p = _snapshot_path(index_dir, sid)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+    except (OSError, json.JSONDecodeError) as e:
+        try:
+            os.replace(p, p + ".corrupt")
+        except OSError:
+            pass
+        warnings.warn(
+            f"archived snapshot manifest {p!r} is unreadable ({e}); "
+            f"moved aside to .corrupt and treated as expired",
+            stacklevel=2,
+        )
+        return None
+
+
 def _retained_old_snapshots(index_dir: str, manifest: dict) -> list[dict]:
     """Archived manifests inside the keep-last-N retention window,
     excluding the live snapshot itself. Empty when retention is off."""
@@ -415,10 +399,9 @@ def _retained_old_snapshots(index_dir: str, manifest: dict) -> list[dict]:
     for sid in hist[-k:]:
         if sid == manifest.get("snapshot_id"):
             continue
-        p = _snapshot_path(index_dir, sid)
-        if os.path.exists(p):
-            with open(p) as f:
-                out.append(json.load(f))
+        m = _load_archived_snapshot(index_dir, sid)
+        if m is not None:
+            out.append(m)
     return out
 
 
@@ -558,18 +541,25 @@ def _replay_relocations(index_dir: str) -> int:
 def set_snapshot_retention(index_dir: str, keep_last: int) -> dict:
     """Persist the retention window on the live manifest (metadata-only
     mutation — no new snapshot). keep_last=0 disables retention
-    (maintenance frees superseded dirs immediately, the default)."""
+    (maintenance frees superseded dirs immediately, the default).
+
+    Takes the maintenance lock: a read→rewrite of the live manifest
+    racing a minutes-long GC's commit would either lose the retention
+    field (GC's write lands last) or — worse — write back the PRE-GC
+    dir pointers after the flip, pointing readers at dirs GC's cleanup
+    is about to delete."""
     from ela_lib_spark.errors import IndexNotFoundError
     from ela_lib_spark.index.build import (
         read_manifest,
         rewrite_manifest_in_place,
     )
 
-    manifest = read_manifest(index_dir)
-    if manifest is None:
-        raise IndexNotFoundError(f"no manifest.json under {index_dir!r}")
-    manifest["retention_keep_snapshots"] = int(keep_last)
-    rewrite_manifest_in_place(index_dir, manifest)
+    with _maintenance_lock(index_dir):
+        manifest = read_manifest(index_dir)
+        if manifest is None:
+            raise IndexNotFoundError(f"no manifest.json under {index_dir!r}")
+        manifest["retention_keep_snapshots"] = int(keep_last)
+        rewrite_manifest_in_place(index_dir, manifest)
     return {"retention_keep_snapshots": int(keep_last)}
 
 
@@ -605,6 +595,18 @@ def _expire_snapshots_impl(index_dir: str,
         raise IndexNotFoundError(f"no manifest.json under {index_dir!r}")
     if keep_last is None:
         keep_last = int(manifest.get("retention_keep_snapshots", 0) or 0)
+        if keep_last <= 0:
+            from ela_lib_spark.errors import EngineError
+
+            # without this guard, "expire with the configured window"
+            # on an index with NO configured window would silently
+            # collapse to keep-1 and delete every archived snapshot
+            raise EngineError(
+                "expire_snapshots: no keep_last given and no "
+                "retention_keep_snapshots configured on the manifest — "
+                "pass an explicit window (snapshots expire --keep N) "
+                "or set one (snapshots retention --keep N)"
+            )
     keep_last = max(1, int(keep_last))
     hist = list(manifest.get("history", []))
     live_sid = manifest.get("snapshot_id")
@@ -623,10 +625,9 @@ def _expire_snapshots_impl(index_dir: str,
 
     survivors = [manifest]
     for sid in keep_ids:
-        p = _snapshot_path(index_dir, sid)
-        if os.path.exists(p):
-            with open(p) as f:
-                survivors.append(json.load(f))
+        m = _load_archived_snapshot(index_dir, sid)
+        if m is not None:
+            survivors.append(m)
     referenced = {
         os.path.abspath(os.path.join(index_dir, n))
         for n in _referenced_dir_names(survivors)

@@ -589,14 +589,15 @@ def test_serving_cache_revalidates_on_snapshot_flip(spark, tmp_root):
     assert wand_topk(tt, ["zzpostgc"], "OR", 100).count() == 0  # frozen
 
 
-def test_maintenance_lock_excludes_and_steals(spark, tmp_root):
+def test_maintenance_lock_excludes_and_survives_crash(spark, tmp_root):
     """Concurrent compaction/GC is excluded by the maintenance lock
-    (two minors would double-count the same epochs); a lock left by a
-    DEAD process is stale and stolen, so crashes never wedge the
-    index."""
+    (two minors would double-count the same epochs); a lock FILE left
+    by a crashed process carries no kernel flock, so crashes never
+    wedge the index — no liveness heuristic, no steal protocol."""
     import pytest
 
     from ela_lib_spark.errors import MaintenanceLockError
+    from ela_lib_spark.streaming.incremental import _maintenance_lock
 
     idx_dir = os.path.join(tmp_root, "lock_idx")
     pages = synth_pages_df(spark, 120).cache()
@@ -605,57 +606,72 @@ def test_maintenance_lock_excludes_and_steals(spark, tmp_root):
                       n_buckets=4)
 
     lock = os.path.join(idx_dir, ".maintenance.lock")
-    with open(lock, "w") as f:  # live holder (our own pid)
-        f.write(f"{os.getpid()}\n")
-    with pytest.raises(MaintenanceLockError, match="already running"):
-        compact_index(spark, idx_dir, n_shards=2)
+    holder = _maintenance_lock(idx_dir).__enter__()  # live holder
+    try:
+        with pytest.raises(MaintenanceLockError, match="already running"):
+            compact_index(spark, idx_dir, n_shards=2)
+    finally:
+        holder.__exit__(None, None, None)
 
-    with open(lock, "w") as f:  # stale holder (dead pid)
-        f.write("999999999\n")
+    # crashed holder: the file survives but the kernel lock died with
+    # the process — the next maintenance acquires without ceremony
+    with open(lock, "w") as f:
+        f.write("999999999 -\n")
     res = compact_index(spark, idx_dir, n_shards=2)
     assert res["mode"] == "minor" and res["compacted_epochs"] == 1
     assert not os.path.exists(lock)  # released after success
 
 
-def test_maintenance_lock_steal_toctou_restores_live_lock(tmp_root, monkeypatch):
-    """ADVICE r4 TOCTOU guard: if a rival completes its own steal and
-    re-creates a FRESH LIVE lock between a slow stealer's staleness
-    check and its rename, the slow stealer must detect the mismatch on
-    the stolen file's frozen contents, restore it (same inode), and
-    lose — never acquire alongside the live holder."""
+def test_maintenance_lock_unlink_race_single_winner(tmp_root):
+    """The flock design's one subtlety: an acquirer may flock an inode
+    that a releasing holder already unlinked while a rival recreates
+    the path. The inode re-verify must force a retry on the fresh path
+    — a winner on the orphaned inode can never coexist with a winner
+    on the recreated file."""
+    from ela_lib_spark.streaming.incremental import _maintenance_lock
+
+    idx_dir = os.path.join(tmp_root, "race_idx")
+    os.makedirs(idx_dir, exist_ok=True)
+    lock_path = os.path.join(idx_dir, ".maintenance.lock")
+
+    # Simulate the interleave deterministically: open an fd to the
+    # current inode, then have a holder cycle acquire→release (which
+    # unlinks that inode) before we flock our stale fd.
+    with open(lock_path, "w") as f:
+        f.write("old\n")
+    import fcntl
+
+    stale_fd = os.open(lock_path, os.O_RDWR)
+    with _maintenance_lock(idx_dir):
+        pass  # release unlinks the path (different inode now gone)
+    # flock on the orphaned inode SUCCEEDS — exactly the hazard...
+    fcntl.flock(stale_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        # ...but a real acquirer opens the PATH, creating a fresh
+        # inode, so both can hold their flocks only on DIFFERENT
+        # inodes; the inode re-verify is what rejects the stale one.
+        with _maintenance_lock(idx_dir) as lk:
+            assert os.stat(lock_path).st_ino == os.fstat(lk.fd).st_ino
+            assert os.fstat(stale_fd).st_ino != os.fstat(lk.fd).st_ino
+    finally:
+        os.close(stale_fd)
+    assert not os.path.exists(lock_path)
+
+
+def test_maintenance_lock_reentry_fails_loudly(tmp_root):
+    """flock conflicts even between two fds of one process: accidental
+    re-entrant maintenance on the same index dir fails with the typed
+    error instead of silently double-running."""
     import pytest
 
     from ela_lib_spark.errors import MaintenanceLockError
     from ela_lib_spark.streaming.incremental import _maintenance_lock
 
-    idx_dir = os.path.join(tmp_root, "toctou_idx")
+    idx_dir = os.path.join(tmp_root, "reent_idx")
     os.makedirs(idx_dir, exist_ok=True)
-    lock_path = os.path.join(idx_dir, ".maintenance.lock")
-    # the "rival's fresh live lock": our own (live) pid + start-time
-    start = _maintenance_lock._proc_start(os.getpid())
-    with open(lock_path, "w") as f:
-        f.write(f"{os.getpid()} {start}\n")
-    orig_ino = os.stat(lock_path).st_ino
-
-    # Simulate the interleave: the slow stealer's STALENESS check sees
-    # a dead holder (first call), but by the time it renames, the file
-    # holds the rival's live lock (every later call sees the truth).
-    calls = {"n": 0}
-    real_live = _maintenance_lock._lock_live.__func__
-
-    def raced_live(cls, parts):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            return False  # stale verdict from the pre-rename read
-        return real_live(cls, parts)
-
-    monkeypatch.setattr(_maintenance_lock, "_lock_live",
-                        classmethod(raced_live))
-    with pytest.raises(MaintenanceLockError):
-        _maintenance_lock(idx_dir).__enter__()
-    # the live lock survived, same inode (hard-linked back), no litter
-    assert os.stat(lock_path).st_ino == orig_ino
-    assert os.listdir(idx_dir) == [".maintenance.lock"]
+    with _maintenance_lock(idx_dir):
+        with pytest.raises(MaintenanceLockError, match="already running"):
+            _maintenance_lock(idx_dir).__enter__()
 
 
 def test_maintenance_lock_exit_spares_foreign_lock(tmp_root):

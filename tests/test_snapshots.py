@@ -209,3 +209,65 @@ def test_auto_expire_enforces_window_at_gc(spark, tmp_root):
     entries = set(os.listdir(idx_dir))
     assert "postings" not in entries and "docs" not in entries
     assert load_index(spark, idx_dir)["manifest"]["n_docs"] == 140
+
+
+def test_retention_set_requires_lock_free_index(spark, tmp_root):
+    """set_snapshot_retention is a manifest read->rewrite; racing a
+    GC's commit could clobber the retention field or resurrect pre-GC
+    dir pointers, so it must run under the maintenance lock."""
+    from ela_lib_spark.errors import MaintenanceLockError
+    from ela_lib_spark.streaming.incremental import _maintenance_lock
+
+    idx_dir = os.path.join(tmp_root, "ret_lock_idx")
+    pages = synth_pages_df(spark, 30).cache()
+    build_index(spark, pages, idx_dir, n_buckets=2, n_shards=2)
+    with _maintenance_lock(idx_dir):
+        with pytest.raises(MaintenanceLockError, match="already running"):
+            set_snapshot_retention(idx_dir, keep_last=2)
+    # lock released: the mutation goes through
+    out = set_snapshot_retention(idx_dir, keep_last=2)
+    assert out["retention_keep_snapshots"] == 2
+    assert read_manifest(idx_dir)["retention_keep_snapshots"] == 2
+
+
+def test_corrupt_snapshot_json_does_not_wedge_maintenance(
+        spark, tmp_root, recwarn):
+    """One truncated archived snapshot manifest (operator damage —
+    write_manifest archives via tmp+replace) must not permanently fail
+    every retention-enabled GC/compaction: it is moved aside to
+    .corrupt with a warning and treated as expired (it could not be
+    time-traveled to anyway)."""
+    idx_dir = os.path.join(tmp_root, "corrupt_snap_idx")
+    pages = synth_pages_df(spark, 140).cache()
+    build_index(spark, pages.limit(120), idx_dir, n_buckets=4, n_shards=2)
+    set_snapshot_retention(idx_dir, keep_last=3)
+    s1 = read_manifest(idx_dir)["snapshot_id"]
+    spath = os.path.join(idx_dir, "snapshots", f"{s1}.json")
+    with open(spath, "w") as f:
+        f.write('{"snapshot_id": "trunc')  # crash-torn write
+
+    apply_delta_batch(pages.subtract(pages.limit(120)), 0, idx_dir,
+                      n_buckets=4, mode="upsert")
+    res = gc_index(spark, idx_dir, n_shards=2)  # must not raise
+    assert res["mode"] in ("gc", "minor", "major", "noop")
+    assert any("unreadable" in str(w.message) for w in recwarn.list)
+    assert os.path.exists(spath + ".corrupt")
+    assert not os.path.exists(spath)
+    # the live index is intact
+    assert load_index(spark, idx_dir)["manifest"]["n_docs"] == 140
+
+
+def test_expire_without_any_window_refuses(spark, tmp_root):
+    """`snapshots expire` with no --keep on an index with no configured
+    retention must refuse loudly — defaulting to keep-1 would silently
+    delete every archived snapshot."""
+    from ela_lib_spark.errors import EngineError
+
+    idx_dir = os.path.join(tmp_root, "expire_guard_idx")
+    pages = synth_pages_df(spark, 30).cache()
+    build_index(spark, pages, idx_dir, n_buckets=2, n_shards=2)
+    with pytest.raises(EngineError, match="no keep_last"):
+        expire_snapshots(idx_dir)
+    # explicit window still works
+    out = expire_snapshots(idx_dir, keep_last=5)
+    assert out["expired"] == []
