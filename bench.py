@@ -411,15 +411,30 @@ def _valid_rep_indices(reps_lo: list[dict], reps_hi: list[dict]) -> list[int]:
 
     With fewer than 2 pairs there is nothing to compare; everything
     passes."""
+    return _rep_validity(reps_lo, reps_hi)[0]
+
+
+def _rep_validity(
+    reps_lo: list[dict], reps_hi: list[dict]
+) -> tuple[list[int], dict[int, str]]:
+    """(valid indices, {discarded index: which check rejected it}).
+    The reasons feed the BENCH.md status column so the published
+    evidence names the ACTUAL discriminator: a growth-ratio discard
+    labeled 'tree-CPU outlier' invites a reviewer to reject the gate,
+    because the adjacent CPU columns visibly contradict the label."""
     if len(reps_lo) < 2:
-        return list(range(len(reps_lo)))
+        return list(range(len(reps_lo))), {}
+    reasons: dict[int, str] = {}
     tol = 1.0 + CPU_OUTLIER_PCT / 100.0
     out = list(range(len(reps_lo)))
-    for reps in (reps_lo, reps_hi):
+    for reps, lvl in ((reps_lo, "lo"), (reps_hi, "hi")):
         ref = min(r["tree_cpu_s"] for r in reps)
         if not ref:
             continue
-        out = [i for i in out if reps[i]["tree_cpu_s"] <= ref * tol]
+        for i in list(out):
+            if reps[i]["tree_cpu_s"] > ref * tol:
+                out.remove(i)
+                reasons.setdefault(i, f"tree-CPU outlier @{lvl}")
     # paired growth over the absolute survivors only: a rep whose LO
     # leg was throttled has an artificially LOW ratio and must not
     # become the reference — check (1) has already removed it.
@@ -431,8 +446,11 @@ def _valid_rep_indices(reps_lo: list[dict], reps_hi: list[dict]) -> list[int]:
     if len(ratios) >= 2:
         gtol = 1.0 + CPU_GROWTH_OUTLIER_PCT / 100.0
         ref = min(ratios.values())
-        out = [i for i in out if i not in ratios or ratios[i] <= ref * gtol]
-    return out
+        for i in list(out):
+            if i in ratios and ratios[i] > ref * gtol:
+                out.remove(i)
+                reasons.setdefault(i, "cpu-growth-ratio outlier")
+    return out, reasons
 
 
 def _membw_unit(_):
@@ -492,12 +510,13 @@ def _phase_table(reps_lo: list[dict], reps_hi: list[dict], lo: int, hi: int) -> 
 def _bench_md(result, lo, hi, reps_lo, reps_hi, membw) -> str:
     sc = result["scaling"]
     valid = set(sc.get("valid_reps", range(len(reps_lo))))
+    _, reasons = _rep_validity(reps_lo, reps_hi)
     rep_rows = "".join(
         f"| {i} | {a['wall']:.1f} | {b['wall']:.1f} | "
         f"{(a['wall'] / b['wall']) / (hi / lo):.3f} | "
         f"{a['tree_cpu_s']:.0f} | {b['tree_cpu_s']:.0f} | "
         f"{a['driver_gap_s']:.1f} / {b['driver_gap_s']:.1f} | "
-        f"{'valid' if i in valid else '**discarded** (tree-CPU outlier)'} |\n"
+        f"{'valid' if i in valid else '**discarded** (' + reasons.get(i, 'outlier') + ')'} |\n"
         for i, (a, b) in enumerate(zip(reps_lo, reps_hi))
     )
     bw = " | ".join(f"{membw[k]}" for k in ("1", "2", "4", "8", "16"))
@@ -651,8 +670,11 @@ def main():
         # rep inside the median dragged the gate below 0.8 while four
         # clean runs all passed. Tree-CPU is the throttle discriminator
         # the protocol already records; now it GATES rep validity:
-        # reps whose tree-CPU (at either level) deviates >20% from the
-        # per-level rep median are discarded, and the loop keeps
+        # reps whose tree-CPU (at either level) runs >20% above the
+        # per-level rep MINIMUM (throttle only ever ADDS CPU; a median
+        # reference is itself dragged up when >=2 reps are
+        # contaminated) are discarded, as are pairs with an outlier
+        # cpu-growth ratio (see _rep_validity), and the loop keeps
         # running (up to BENCH_SCALE_MAX_REPS pairs) until ≥4 valid.
         reps = int(os.environ.get("BENCH_SCALE_REPS", "4"))
         max_reps = int(os.environ.get("BENCH_SCALE_MAX_REPS", "8"))

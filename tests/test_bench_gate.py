@@ -79,3 +79,24 @@ def test_zero_cpu_reps_do_not_divide_by_zero():
     lo = _reps([0, 0])
     hi = _reps([0, 0])
     assert _valid_rep_indices(lo, hi) == [0, 1]
+
+
+def test_discard_reasons_name_the_actual_check():
+    """BENCH.md's status column must name the check that rejected a
+    rep: an absolute tree-CPU discard and a growth-ratio discard are
+    contradicted by different table columns, and a mislabeled reason
+    reads as a gate bug to a reviewer."""
+    from bench import _rep_validity
+
+    lo = _reps([94, 143, 96, 99])
+    hi = _reps([100, 104, 101, 103])
+    valid, reasons = _rep_validity(lo, hi)
+    assert valid == [0, 2, 3]
+    assert reasons == {1: "tree-CPU outlier @lo"}
+
+    lo = _reps([106, 100, 98, 112])
+    hi = _reps([131, 111, 122, 124])
+    valid, reasons = _rep_validity(lo, hi)
+    assert valid == [1, 3]
+    assert reasons == {0: "cpu-growth-ratio outlier",
+                       2: "cpu-growth-ratio outlier"}
