@@ -696,3 +696,48 @@ def test_maintenance_lock_exit_spares_foreign_lock(tmp_root):
     with _maintenance_lock(idx_dir):
         assert os.path.exists(lock_path)
     assert not os.path.exists(lock_path)
+
+
+def test_maintenance_lock_multiprocess_mutual_exclusion(tmp_root):
+    """Real contention: 6 forked processes each do read→increment→write
+    on an unprotected counter file under the lock. Any mutual-exclusion
+    violation (two holders at once) loses updates; the final count
+    proves every critical section ran alone. Also exercises acquire
+    retry under churn (each iteration unlinks/recreates the lock file,
+    hammering the unlink-vs-open inode re-verify)."""
+    import multiprocessing as mp
+    import time as _t
+
+    from ela_lib_spark.errors import MaintenanceLockError
+    from ela_lib_spark.streaming.incremental import _maintenance_lock
+
+    idx_dir = os.path.join(tmp_root, "mp_lock_idx")
+    os.makedirs(idx_dir, exist_ok=True)
+    counter = os.path.join(idx_dir, "counter")
+    with open(counter, "w") as f:
+        f.write("0")
+    n_procs, iters = 6, 15
+
+    def worker():
+        for _ in range(iters):
+            while True:
+                try:
+                    with _maintenance_lock(idx_dir):
+                        with open(counter) as f:
+                            v = int(f.read())
+                        _t.sleep(0.001)  # widen any race window
+                        with open(counter, "w") as f:
+                            f.write(str(v + 1))
+                    break
+                except MaintenanceLockError:
+                    _t.sleep(0.002)
+
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=worker) for _ in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    with open(counter) as f:
+        assert int(f.read()) == n_procs * iters
