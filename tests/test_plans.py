@@ -304,3 +304,27 @@ def test_lsh_guard_never_shuffles_signatures(spark, pages_path):
     for ln in plan.splitlines():
         if re.search(r"\bExchange hashpartitioning", ln):
             assert "sig" not in ln, ln
+
+
+def test_simhash_guard_never_shuffles_signatures(spark, pages_path):
+    """Same collision-pruning invariant as the LSH test, for the
+    simhash pair generator: the (key, simhash)-carrying frame must
+    reach both self-join sides without an Exchange or Window over it —
+    only the key-only (kid, kval) guard aggregate may shuffle."""
+    from ela_lib_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    pages = spark.read.parquet(pages_path)
+    sigs = simhash_signatures(pages, key="url")
+    pairs = simhash_near_dup_pairs(sigs, key="url", max_hamming=3)
+    pairs.count()  # let AQE finalize
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for ln in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", ln):
+            assert "simhash" not in ln, ln
