@@ -213,11 +213,18 @@ def hamming64(c1, c2) -> Column:
 
 
 def band_cols(sig_col, num_bands: int, rows_per_band: int) -> list[Column]:
-    """LSH banding: hash each signature band; equal band-hash ⇒ candidate."""
+    """LSH banding: hash each signature band; equal band-hash ⇒ candidate.
+
+    Chained multi-arg xxhash64 over the band's signature values
+    directly (r6) — the previous concat_ws string basis built and
+    hashed a ~40-char string per (doc, band), ~3.2M long→string casts
+    per 50k docs at 16 bands, pure per-task overhead (guide §1.2 step
+    2). Numeric chaining is also strictly less collision-prone: the
+    string basis could alias across value boundaries ("1,23" vs
+    "12,3"); here each value is its own chained block. Equal bands
+    still hash equal, so candidate recall is unchanged."""
     return [
-        F.xxhash64(
-            F.concat_ws(",", *[sig_col.getItem(b * rows_per_band + r).cast("string")
-                               for r in range(rows_per_band)])
-        ).alias(f"band_{b}")
+        F.xxhash64(*[sig_col.getItem(b * rows_per_band + r)
+                     for r in range(rows_per_band)]).alias(f"band_{b}")
         for b in range(num_bands)
     ]

