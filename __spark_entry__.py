@@ -36,6 +36,27 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Round-robin repartition (after projecting to `cols`) when the
+    source scan yields fewer partitions than the cluster has slots.
+    The driver testdata tables are single-digit-row-group parquet
+    files, so every map stage (tokenize, window sort, hash) otherwise
+    runs on 1-6 tasks regardless of core count (guide §2.5, input
+    skew: repartition right after an unsplittable read). Scale-
+    adaptive: at real input sizes the scan has more splits than cores
+    and this is a no-op decision, so no config is tuned to local mode."""
+    out = df.select(*cols) if cols else df
+    sc = df.sparkSession.sparkContext
+    try:
+        cur = out.rdd.getNumPartitions()
+    except Exception:
+        return out
+    par = sc.defaultParallelism
+    if cur < par:
+        out = out.repartition(2 * par)
+    return out
+
+
 def _t(spark, sf_dir, name) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -81,7 +102,7 @@ def q_token_stats(spark, sf_dir):
 
 def q_term_df(spark, sf_dir):
     """Document frequency per term (corpus-stats aggregation A5)."""
-    d = _docs(spark, sf_dir)
+    d = _spread(_docs(spark, sf_dir), ["text"])
     ex = d.select(F.explode(F.array_distinct(tokenize_col(F.col("text")))).alias("term"))
     return ex.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
@@ -169,6 +190,8 @@ def q_bm25_wand(spark, sf_dir):
 
 
 def q_match_and(spark, sf_dir):
+    # NOT spread (r6 A/B): tokenize+array_contains over the scan beats
+    # paying a text shuffle first (0.80 s vs 0.99 s at sf1.0)
     d = _docs(spark, sf_dir)
     toks = tokenize_col(F.col("text"))
     cond = F.array_contains(toks, MATCH_AND_TERMS[0]) & F.array_contains(
@@ -274,6 +297,8 @@ def q_tpch_q1(spark, sf_dir):
 def q_nation_revenue(spark, sf_dir):
     """Star join with broadcast dims — revenue per nation."""
     c = _t(spark, sf_dir, "customer")
+    # NOT spread (r6 A/B): the broadcast-probe pipeline over the scan
+    # beats paying a repartition shuffle first (0.79 s vs 1.74 s sf1.0)
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
     j = (
@@ -350,6 +375,9 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
+    # NOT spread (r6 A/B): the map side is date_trunc + partial agg —
+    # cheaper than shuffling the (ts, type, value) columns (0.41 s vs
+    # 1.71 s at sf1.0)
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -364,7 +392,8 @@ def q_topk_per_group(spark, sf_dir):
     """Top-3 orders by price per order-priority (window top-k)."""
     from pyspark.sql import Window as W
 
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"),
+                ["o_orderpriority", "o_orderkey", "o_totalprice"])
     w = W.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )

@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import numpy as np
 
+_PAD8 = np.zeros(8, np.uint8)  # bitpack_decode window-gather tail pad
+_GATHER_BITS = 16384  # below this, unpackbits beats the window gather
+_POW2 = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
 # ---------------------------------------------------------------- varint
 
 
@@ -143,12 +147,30 @@ def bitpack_encode(arr: np.ndarray, width: int) -> bytes:
 
 
 def bitpack_decode(buf: bytes, n: int, width: int) -> np.ndarray:
+    """Two decode regimes (r6, both exact for width ≤ 32):
+
+    - small blocks (n·width below _GATHER_BITS): one unpackbits +
+      matmul — tiny fixed cost (~8 µs at the 128-posting block size,
+      where per-call overhead, not bit work, is the budget);
+    - large arrays: gather each value's 8-byte window and reinterpret
+      as big-endian uint64 in one view — 8 bytes/value instead of
+      width unpacked BYTES per value, ~5× less memory traffic for
+      bulk decodes (validate --deep, whole-list rebuilds)."""
     if n == 0:
         return np.zeros(0, np.uint64)
-    bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width)
-    m = bits.reshape(n, width).astype(np.uint64)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    return (m << shifts).sum(axis=1, dtype=np.uint64)
+    b = np.frombuffer(buf, np.uint8)
+    if n * width < _GATHER_BITS:
+        bits = np.unpackbits(b, count=n * width)
+        m = bits.reshape(n, width)
+        return m.astype(np.uint64) @ _POW2[64 - width:]
+    bp = np.concatenate([b, _PAD8])
+    starts = np.arange(n, dtype=np.int64) * width
+    byte0 = starts >> 3
+    win = np.lib.stride_tricks.sliding_window_view(bp, 8)[byte0]
+    acc = np.ascontiguousarray(win).view(">u8")[:, 0]
+    shift = (np.uint64(64) - (starts & 7).astype(np.uint64)
+             - np.uint64(width))
+    return ((acc >> shift) & np.uint64((1 << width) - 1)).astype(np.uint64)
 
 
 # ------------------------------------------------------------- PForDelta
@@ -181,19 +203,24 @@ def pfor_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, np.uint64)
     width = buf[0]
-    rest = buf[1:]
-    n_exc = int(varint_decode(rest, 1)[0])
-    # length of the n_exc varint
-    h = 0
-    while rest[h] & 0x80:
-        h += 1
-    h += 1
-    rest = rest[h:]
+    # inline n_exc varint parse — a plain byte loop over ≤ 10 bytes is
+    # ~5 µs cheaper per call than a vectorized varint_decode round
+    # trip, and per-call cost is the whole budget at the 128-posting
+    # block size (r6)
+    n_exc = 0
+    shift = 0
+    i = 1
+    while True:
+        byt = buf[i]
+        n_exc |= (byt & 0x7F) << shift
+        i += 1
+        if not byt & 0x80:
+            break
+        shift += 7
     packed_len = (n * width + 7) // 8
-    vals = bitpack_decode(rest[:packed_len], n, width)
+    vals = bitpack_decode(buf[i:i + packed_len], n, width)
     if n_exc:
-        tail = rest[packed_len:]
-        both = varint_decode(tail, 2 * n_exc)
+        both = varint_decode(buf[i + packed_len:], 2 * n_exc)
         idx = np.cumsum(both[:n_exc].astype(np.int64))
         vals[idx] = both[n_exc:]
     return vals
