@@ -125,13 +125,17 @@ def _flat_corpus(spark, sf_dir):
         )
         # cluster the cache by term: each cached batch covers a narrow
         # term range, so the per-query term filter prunes batches via
-        # in-memory batch stats instead of scanning the whole relation
+        # in-memory batch stats instead of scanning the whole relation.
+        # doc_len is pre-joined into the cached postings (r6): it is a
+        # per-doc corpus invariant, so attaching it once at prep time
+        # removes the doc-stats broadcast join from every query plan.
+        dl = doc_lens(d).cache()
         postings = (
-            flat_postings(d).repartition(8, "term")
+            flat_postings(d).join(dl, "doc_id")
+            .repartition(8, "term")
             .sortWithinPartitions("term").cache()
         )
         postings.count()  # materialize: corpus prep, not query latency
-        dl = doc_lens(d).cache()
         n_docs = dl.count()
         avg_dl = dl.select(F.avg("doc_len")).first()[0]
         _FLAT_CACHE[key] = (postings, dl, n_docs, float(avg_dl))
@@ -142,10 +146,10 @@ def _bm25_flat_df(spark, sf_dir, terms, mode="OR", k=10, min_match=None):
     from ela_lib_spark.query.bm25 import bm25_topk_flat
 
     postings, dl, n_docs, avg_dl = _flat_corpus(spark, sf_dir)
-    # doc stats broadcast: this is the small-scale serving/oracle
-    # surface (WAND over the compressed index is the 100-TB path, and
-    # never materializes a doc-stats join at all)
-    top = bm25_topk_flat(postings, F.broadcast(dl), n_docs, avg_dl, terms,
+    # doc_len rides inside the cached postings (corpus prep) — no
+    # per-query doc-stats join at all (WAND over the compressed index
+    # is the 100-TB path and never materializes one either)
+    top = bm25_topk_flat(postings, None, n_docs, avg_dl, terms,
                          mode, k, min_match=min_match)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 

@@ -53,11 +53,19 @@ def bm25_topk_flat(
 ) -> DataFrame:
     """Top-k BM25 with built-ins only. `postings` must cover the whole
     corpus (df is derived by counting within the term filter).
-    `min_match=m` requires ≥ m distinct matched terms per doc."""
+    `min_match=m` requires ≥ m distinct matched terms per doc.
+
+    When `postings` already carries a `doc_len` column (a corpus
+    prepared with the length pre-joined — the serving-cache layout),
+    pass doc_stats=None: the per-query doc-stats join disappears from
+    the plan entirely (r6 — the join cost was re-paid on every query
+    for an invariant corpus attribute)."""
     q = postings.filter(F.col("term").isin(terms))
     dfs = q.groupBy("term").agg(F.count("*").alias("df"))
     # dfs has ≤ len(terms) rows — broadcast, no shuffle for this join
-    joined = q.join(F.broadcast(dfs), "term").join(doc_stats, "doc_id")
+    joined = q.join(F.broadcast(dfs), "term")
+    if doc_stats is not None:
+        joined = joined.join(doc_stats, "doc_id")
     scored = joined.select(
         "doc_id",
         bm25_score_col(

@@ -278,7 +278,23 @@ def prepare_serving(index: dict) -> dict:
     costs a dict access instead of a collect. Above the cap, the
     cached distributed table is filtered + collected per query (a
     few-row job over an in-memory relation)."""
-    index["postings"] = index["postings"].cache()
+    # Pin the cache HASH-PARTITIONED BY SHARD with rows term-sorted
+    # inside each partition (r6): the shard kernel's groupBy(shard)
+    # requires ClusteredDistribution(shard), which the cached
+    # partitioning already satisfies — so every query's plan drops its
+    # Exchange and runs as a single scan→sort→kernel stage. The
+    # in-partition term_id sort keeps the cache's per-batch min/max
+    # stats tight, so the query-term filter still prunes cached
+    # batches instead of decoding the whole shard. The one-time
+    # reshuffle happens here, at pin time — serving-latency cost moves
+    # to the (amortized) snapshot flip, exactly like the envelope
+    # precompute below. 4× n_shards partitions keeps hash collisions
+    # between shard ids rare, so one task per shard w.h.p.
+    n_shards = int(index["manifest"].get("n_shards") or 8)
+    index["postings"] = (
+        index["postings"].repartition(4 * n_shards, "shard")
+        .sortWithinPartitions("term_id").cache()
+    )
     index["postings"].count()
     env = precompute_envelopes(index["postings"]).cache()
     n = env.count()
