@@ -346,7 +346,15 @@ def dedup_minhash_lsh(
     # them before any one populates the cache — measured 4 executions
     # of the signature UDF per dedup run at sf1.0 (r6). One count()
     # pins the cache before the fan-out.
-    sigs.count()
+    n_sigs = sigs.count()
+    # Broadcast the attach sides when the signature frame provably
+    # fits (guide §3.1: pick the join strategy deliberately — the
+    # count above gives the exact row count, so this is a measured
+    # decision, not an estimate): two broadcast probes beat two
+    # shuffle joins of the sig frame (4.0 s → 2.2 s at sf1.0). Above
+    # the cap the attach joins stay shuffled — at 10⁹ docs the frame
+    # is ~0.5 TB and must never be broadcast.
+    bc_attach = n_sigs * (num_hashes * 8 + 24) <= 64 * 1024 * 1024
     try:
         # Key-only candidate generation + one-time signature attach
         # (r6, replaces r4's fused sig-carrying band join): carrying
@@ -366,6 +374,8 @@ def dedup_minhash_lsh(
                                        num_hashes // num_bands)
         a = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
         b = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
+        if bc_attach:
+            a, b = F.broadcast(a), F.broadcast(b)
         eq = F.size(F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
         ))
@@ -424,7 +434,7 @@ def simhash_near_dup_pairs(
     # keep for the pipeline's lifetime (same policy as the LSH path's
     # signature persist).
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    n_sigs = sigs.count()
     n_blocks = max_hamming + 2
     widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
@@ -466,6 +476,10 @@ def simhash_near_dup_pairs(
     pairs, _ = _guarded_pairs(stacked, key, ["kid", "kval"], max_bucket_size)
     ha = sigs.select(F.col(key).alias("a"), F.col("simhash").alias("ha"))
     hb = sigs.select(F.col(key).alias("b"), F.col("simhash").alias("hb"))
+    if n_sigs * 24 <= 64 * 1024 * 1024:
+        # measured-size broadcast gate, same rationale as the LSH
+        # attach (guide §3.1); (key, simhash) is 16 B + row overhead
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
     return (
         pairs.join(ha, "a").join(hb, "b")
         .withColumn("hamming", hamming64(F.col("ha"), F.col("hb")))
