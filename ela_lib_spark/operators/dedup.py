@@ -512,7 +512,18 @@ def winnow_overlap_pairs(
     keep = (F.col("_df") >= 2) if max_fp_df is None \
         else (F.col("_df") >= 2) & (F.col("_df") <= max_fp_df)
     dfreq = ex.groupBy("fp").agg(F.count("*").alias("_df"))
-    ex = ex.join(dfreq.filter(keep).drop("_df"), "fp")
+    # pin the guarded frame (r6): the guard aggregate and both
+    # self-join sides are independent AQE leaf stages that would each
+    # recompute the winnowing UDF + explode from scratch (same failure
+    # mode measured on the LSH path — see _guarded_pairs); the
+    # surviving shared-fingerprint members are small in the sparse
+    # case, so both sides read a few MB from cache instead
+    from pyspark import StorageLevel
+
+    ex = ex.join(dfreq.filter(keep).drop("_df"), "fp").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex.count()
     l = ex.select(F.col(key).alias("a"), "fp")
     r = ex.select(F.col(key).alias("b"), "fp")
     return (
@@ -549,7 +560,15 @@ def ngram_jaccard_pairs(
     keep = (F.col("_df") >= 2) if max_shingle_df is None \
         else (F.col("_df") >= 2) & (F.col("_df") <= max_shingle_df)
     dfreq = ex.groupBy("g").agg(F.count("*").alias("_df"))
-    ex = ex.join(dfreq.filter(keep).drop("_df"), "g")
+    # pin the guarded frame (r6): same AQE leaf-stage recompute fix as
+    # winnow_overlap_pairs / _guarded_pairs — without it the shingle
+    # explode is recomputed for the guard and both self-join sides
+    from pyspark import StorageLevel
+
+    ex = ex.join(dfreq.filter(keep).drop("_df"), "g").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex.count()
     l = ex.select(F.col(key).alias("a"), "g")
     r = ex.select(F.col(key).alias("b"), "g")
     common = (
