@@ -447,14 +447,12 @@ def simhash_near_dup_pairs(
     ]
     base = sigs.select(key, "simhash", *blocks)
     pair_keys = []
-    kid = 0
     for i in range(n_blocks):
         for j in range(i + 1, n_blocks):
             pair_keys.append(
-                (kid, F.shiftleft(F.col(f"blk{i}").cast("long"), 32)
-                 .bitwiseOR(F.col(f"blk{j}")))
+                F.shiftleft(F.col(f"blk{i}").cast("long"), 32)
+                .bitwiseOR(F.col(f"blk{j}"))
             )
-            kid += 1
     # Key-only candidate generation (r6, mirrors _lsh_key_pairs): the
     # stacked frame, guard aggregate and pair self-join see only
     # (key, kid, kval) — the simhash payload is attached to the
@@ -466,13 +464,12 @@ def simhash_near_dup_pairs(
     # every AQE leaf branch). Pair set and hamming filter are
     # unchanged, so the output rows are identical: distinct bucket
     # pairs → exact hamming ≤ max_hamming.
+    # posexplode: the array position IS the pair-key id, so the
+    # exploded frame needs no struct wrapping (r6 — smaller codegen'd
+    # expression tree, same (key, kid, kval) rows)
     stacked = base.select(
-        key,
-        F.explode(F.array(*[
-            F.struct(F.lit(k).alias("kid"), expr.alias("kval"))
-            for k, expr in pair_keys
-        ])).alias("pk"),
-    ).select(key, F.col("pk.kid").alias("kid"), F.col("pk.kval").alias("kval"))
+        key, F.posexplode(F.array(*pair_keys)).alias("kid", "kval")
+    )
     pairs, _ = _guarded_pairs(stacked, key, ["kid", "kval"], max_bucket_size)
     ha = sigs.select(F.col(key).alias("a"), F.col("simhash").alias("ha"))
     hb = sigs.select(F.col(key).alias("b"), F.col("simhash").alias("hb"))
