@@ -279,11 +279,21 @@ def apply_delta_batch(
     docs = docs.withColumn("bucket", (F.col("bucket") + offset).cast("int")).withColumn(
         "doc_id", F.col("doc_id") + (offset << DOC_BITS)
     )
-    out = os.path.join(index_dir, "delta_chunks", f"epoch={epoch_id}")
-    chunks_from_docs(docs).write.mode("overwrite").parquet(out)
-    # doc dictionary for the streamed docs (url ↔ doc_id ↔ doc_len)
-    ds_out = os.path.join(index_dir, "delta_doc_stats", f"epoch={epoch_id}")
-    doc_stats_from_docs(docs).write.mode("overwrite").parquet(ds_out)
+    # pin the per-batch docs frame: the chunks write AND the doc-stats
+    # write both consume it, and without the persist each write re-runs
+    # tokenization + term-id hashing + the rank window over the whole
+    # batch (r6 — same recompute class as the dedup fan-outs)
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = os.path.join(index_dir, "delta_chunks", f"epoch={epoch_id}")
+        chunks_from_docs(docs).write.mode("overwrite").parquet(out)
+        # doc dictionary for the streamed docs (url ↔ doc_id ↔ doc_len)
+        ds_out = os.path.join(index_dir, "delta_doc_stats", f"epoch={epoch_id}")
+        doc_stats_from_docs(docs).write.mode("overwrite").parquet(ds_out)
+    finally:
+        docs.unpersist()
 
 
 def incremental_index_maintenance(
