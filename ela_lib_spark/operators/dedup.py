@@ -168,28 +168,36 @@ def _guarded_pairs(stacked: DataFrame, key: str, bucket_cols: list[str],
     (key, *bucket_cols), restricted to buckets with 2..max_bucket_size
     members. Returns (pairs, guarded_handle).
 
+    Guard = a count window over the bucket key: because the stacked
+    frame is KEY-ONLY (~24 B/row), windowing it is cheap, computes the
+    banded frame exactly ONCE (one exchange + sort + running count),
+    and was measured faster at sf1.0 than the r5 aggregate+join guard
+    (1.0 s vs 1.7 s), which read the stacked frame twice (aggregate
+    branch + join side). The r4 objection to a window guard applied to
+    the SIGNATURE-carrying frame — that shape is gone (signatures
+    attach to the distinct pair set afterwards, see dedup_minhash_lsh).
+
     The guarded frame — bucket members surviving the size filter — is
     persisted and materialized EAGERLY before the self-join: without
-    it, the guard aggregate and both join sides are independent AQE
-    leaf stages that each recompute the banded frame from scratch
-    (measured at sf1.0, r6: FOUR ~24 MB banded exchanges plus TWO
-    full guard-aggregate chains per query, because exchange reuse
+    it, both join sides are independent AQE leaf stages that each
+    recompute the banded frame from scratch (measured at sf1.0, r6:
+    four ~24 MB banded exchanges per query, because exchange reuse
     never de-duplicated them). In the sparse-dup case the guarded
     frame is tiny (colliding-bucket members only — 69k of 800k banded
-    rows at sf1.0), so both self-join sides read a few MB from cache
-    and the guard computes exactly once. Callers that can scope the
-    lifetime (dedup_minhash_lsh) unpersist the handle when their edge
-    set is materialized; pipeline-style callers keep it pinned for the
-    plan's lifetime (same policy as the persisted signature frame).
-    Dropping singleton buckets is output-invariant: a bucket of one
-    doc can never produce a pair."""
+    rows at sf1.0), so both self-join sides read a few MB from cache.
+    Callers that can scope the lifetime (dedup_minhash_lsh) unpersist
+    the handle when their edge set is materialized; pipeline-style
+    callers keep it pinned for the plan's lifetime (same policy as the
+    persisted signature frame). Dropping singleton buckets is
+    output-invariant: a bucket of one doc can never produce a pair."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window as W
 
-    sizes = stacked.groupBy(*bucket_cols).agg(F.count("*").alias("_n"))
-    guarded = stacked.join(
-        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
-        .drop("_n"),
-        bucket_cols,
+    w = W.partitionBy(*bucket_cols)
+    guarded = (
+        stacked.withColumn("_n", F.count("*").over(w))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+        .drop("_n")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     guarded.count()  # pin before the self-join fan-out (see docstring)
     l = guarded.select(F.col(key).alias("a"), *bucket_cols)

@@ -307,10 +307,14 @@ def test_lsh_guard_never_shuffles_signatures(spark, pages_path):
 
 
 def test_simhash_guard_never_shuffles_signatures(spark, pages_path):
-    """Same collision-pruning invariant as the LSH test, for the
-    simhash pair generator: the (key, simhash)-carrying frame must
-    reach both self-join sides without an Exchange or Window over it —
-    only the key-only (kid, kval) guard aggregate may shuffle."""
+    """Collision-pruning invariant for the simhash pair generator,
+    updated for the r6 key-only shape: the signature payload must
+    never be multiplied through the 10-way pair-key explode — no
+    Exchange and no Window may carry the `simhash` column. (The r5
+    version asserted no Window at all; r6's guard IS a count window,
+    but over the key-only (key, kid, kval) frame — windowing ~24 B
+    rows measured faster than the aggregate+join guard, while the
+    payload attaches to the distinct pair set afterwards.)"""
     from ela_lib_spark.operators.dedup import (
         simhash_near_dup_pairs,
         simhash_signatures,
@@ -321,10 +325,31 @@ def test_simhash_guard_never_shuffles_signatures(spark, pages_path):
     pairs = simhash_near_dup_pairs(sigs, key="url", max_hamming=3)
     pairs.count()  # let AQE finalize
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, plan[:3000]
     assert "BroadcastHashJoin" in plan
     import re
 
     for ln in plan.splitlines():
-        if re.search(r"\bExchange hashpartitioning", ln):
+        if re.search(r"\bExchange hashpartitioning|\bWindow\b", ln):
             assert "simhash" not in ln, ln
+
+
+def test_lsh_dedup_edges_key_only_band_shuffle(spark, pages_path):
+    """r6 shape pin for the default (carry_sig=False) LSH path: every
+    banded Exchange and the guard Window operate on the key-only
+    frame — the `sig` array must never ride a (band, bh)-keyed
+    shuffle. Signatures may appear only in the pair-attach joins
+    (broadcast here, shuffled-by-pair-key above the size gate)."""
+    from ela_lib_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    pages = spark.read.parquet(pages_path)
+    sigs = minhash_signatures(pages, key="url", num_hashes=32, shingle_n=3)
+    pairs = lsh_candidate_pairs(sigs, key="url", num_bands=8, rows_per_band=4)
+    pairs.count()  # let AQE finalize
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for ln in plan.splitlines():
+        if re.search(r"\bWindow\b", ln) or (
+            re.search(r"\bExchange hashpartitioning", ln) and "bh#" in ln
+        ):
+            assert "sig" not in ln, ln
