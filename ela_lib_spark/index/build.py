@@ -701,9 +701,16 @@ def merge_chunks(
     joined = pre.join(df_tbl, "term_id")
     if merge_partitions is None:
         # explicit count — a bare repartition(cols) is subject to AQE
-        # coalescing, which can collapse the merge to a near-serial task
+        # coalescing, which can collapse the merge to a near-serial
+        # task. 1× slots (r6, was 2×): the merge kernel pays a fixed
+        # Python/Arrow cost per task and the shard salting bounds any
+        # (term, shard) group far below a partition, so one wave of
+        # full-width tasks wins (A/B at 32 cores: merge 4.7 → 3.1 s).
+        # Production merges over TB-scale chunk stores should pass
+        # merge_partitions sized by chunk bytes (≈256 MB/partition,
+        # guide §2.2) rather than cores.
         spark = chunks.sparkSession
-        merge_partitions = max(2 * spark.sparkContext.defaultParallelism, 16)
+        merge_partitions = max(spark.sparkContext.defaultParallelism, 16)
     part = joined.repartition(merge_partitions, "term_id", "shard")
     part = part.sortWithinPartitions("term_id", "shard", "first_doc_id")
     return part.mapInPandas(_merge_stream_fn(avg_dl, codec, deleted=deleted),
@@ -986,7 +993,12 @@ def build_index(
     sc = spark.sparkContext
     par = sc.defaultParallelism
     if docs_partitions is None:
-        docs_partitions = max(3 * par, 48)
+        # 2× slots (r6, was 3×): the chunks stage pays a fixed Arrow
+        # boundary cost per read split, so fewer/larger docs files win
+        # as long as splits still cover the cluster — A/B at 32 cores:
+        # full build 8.4 → 6.6 s. Still parameterised on parallelism,
+        # floor 48 keeps the resume/SPIMI granularity of small runs.
+        docs_partitions = max(2 * par, 48)
 
     # job 1: the docs table (skip if resuming and committed — ids are
     # (bucket, url)-deterministic; _SUCCESS guards a crashed write).
