@@ -289,9 +289,18 @@ def connected_components(edges: DataFrame, max_iter: int = 10,
     count and again for the checkpoint), and the count itself reads
     the checkpointed data."""
     if driver_max_edges and driver_max_edges > 0:
-        # ONE action: Arrow-collect at most cap+1 rows; fall through
-        # to the iterative path if the graph exceeds the cap
-        pdf = edges.select("a", "b").limit(driver_max_edges + 1).toPandas()
+        # Materialize the edge set ONCE (eager checkpoint), then probe
+        # the cap against cached blocks. The previous limit+toPandas
+        # probe ran CollectLimit's partition-escalation waves (1, 4,
+        # 16, … partitions — 4-5 jobs at 32 shuffle partitions, each
+        # re-planning on the driver and recomputing earlier waves'
+        # partitions), and on the over-cap fallthrough the iterative
+        # path recomputed the edges from scratch anyway. One job does
+        # the compute; both the probe and the iterative `sym` below
+        # read cached edge rows (~16 B each — same storage budget the
+        # iterative path's own checkpoints already spend).
+        edges = edges.select("a", "b").localCheckpoint(eager=True)
+        pdf = edges.limit(driver_max_edges + 1).toPandas()
         if len(pdf) <= driver_max_edges:
             return _driver_union_find(pdf, edges)
     sym = edges.select("a", "b").union(
@@ -348,21 +357,6 @@ def dedup_minhash_lsh(
     sigs = minhash_signatures(df, key, text_col, num_hashes, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # Materialize the persist EAGERLY: the band pipeline fans out into
-    # several independent AQE leaf stages (bucket-size guard, both pair
-    # sides), and a lazily-persisted frame is recomputed by each of
-    # them before any one populates the cache — measured 4 executions
-    # of the signature UDF per dedup run at sf1.0 (r6). One count()
-    # pins the cache before the fan-out.
-    n_sigs = sigs.count()
-    # Broadcast the attach sides when the signature frame provably
-    # fits (guide §3.1: pick the join strategy deliberately — the
-    # count above gives the exact row count, so this is a measured
-    # decision, not an estimate): two broadcast probes beat two
-    # shuffle joins of the sig frame (4.0 s → 2.2 s at sf1.0). Above
-    # the cap the attach joins stay shuffled — at 10⁹ docs the frame
-    # is ~0.5 TB and must never be broadcast.
-    bc_attach = n_sigs * (num_hashes * 8 + 24) <= 64 * 1024 * 1024
     try:
         # Key-only candidate generation + one-time signature attach
         # (r6, replaces r4's fused sig-carrying band join): carrying
@@ -380,6 +374,24 @@ def dedup_minhash_lsh(
         # fraction of agreeing positions, ≥ threshold keeps the edge.
         cand, guarded = _lsh_key_pairs(sigs, key, num_bands,
                                        num_hashes // num_bands)
+        # The guard materialization above (one linear job: scan → UDF →
+        # band explode → count window) populates the lazily-persisted
+        # sigs cache en route — the UDF runs exactly once, with no
+        # standalone warm-up action (r6: the previous eager
+        # sigs.count() paid a full scan+UDF pass whose only purpose
+        # was cache population; folding it into the guard job saves
+        # that pass at every scale). The count here reads cached
+        # 16 B rows — a cheap action that yields the EXACT row count
+        # for the broadcast gate below.
+        n_sigs = sigs.count()
+        # Broadcast the attach sides when the signature frame provably
+        # fits (guide §3.1: pick the join strategy deliberately — the
+        # count above gives the exact row count, so this is a measured
+        # decision, not an estimate): two broadcast probes beat two
+        # shuffle joins of the sig frame (4.0 s → 2.2 s at sf1.0).
+        # Above the cap the attach joins stay shuffled — at 10⁹ docs
+        # the frame is ~0.5 TB and must never be broadcast.
+        bc_attach = n_sigs * (num_hashes * 8 + 24) <= 64 * 1024 * 1024
         a = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sig_a"))
         b = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sig_b"))
         if bc_attach:
@@ -440,9 +452,12 @@ def simhash_near_dup_pairs(
     # corpus scan) once per branch — measured 3 executions per query
     # at sf1.0 (r6). The frame is (key, simhash) — 16 B/doc, cheap to
     # keep for the pipeline's lifetime (same policy as the LSH path's
-    # signature persist).
+    # signature persist). The persist is LAZY here: the guard
+    # materialization below is one linear job over sigs, so it
+    # populates this cache en route and no standalone warm-up action
+    # is needed (the n_sigs count for the broadcast gate then reads
+    # cached 16 B rows — see _guarded_pairs / dedup_minhash_lsh).
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    n_sigs = sigs.count()
     n_blocks = max_hamming + 2
     widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0)
               for i in range(n_blocks)]
@@ -479,6 +494,7 @@ def simhash_near_dup_pairs(
         key, F.posexplode(F.array(*pair_keys)).alias("kid", "kval")
     )
     pairs, _ = _guarded_pairs(stacked, key, ["kid", "kval"], max_bucket_size)
+    n_sigs = sigs.count()  # cache read — the guard job populated it
     ha = sigs.select(F.col(key).alias("a"), F.col("simhash").alias("ha"))
     hb = sigs.select(F.col(key).alias("b"), F.col("simhash").alias("hb"))
     if n_sigs * 24 <= 64 * 1024 * 1024:
