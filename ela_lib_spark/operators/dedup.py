@@ -50,6 +50,23 @@ def _spread_input(df: DataFrame, cols: list[str]) -> DataFrame:
     return out
 
 
+def _materialized_rowcount(df: DataFrame) -> int:
+    """Exact row count of an already-materialized cached frame without
+    running a job: a fully-built InMemoryRelation carries the row count
+    in its batch statistics, surfaced through the optimized plan's
+    stats (r6 — the count() this replaces re-scanned and decompressed
+    the whole cache, ~0.3-1 s per dedup query, purely to feed the
+    broadcast-size gate). Falls back to count() when the statistic is
+    unavailable (frame not cached / not yet materialized)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc is not None and not rc.isEmpty():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return df.count()
+
+
 def dedup_exact(df: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-key representative per exact text hash.
 
@@ -259,9 +276,17 @@ def _driver_union_find(pdf, edges: DataFrame) -> DataFrame:
     ntype = edges.schema["a"].dataType
     schema = T.StructType([T.StructField("node", ntype),
                            T.StructField("comp", ntype)])
-    return spark.createDataFrame(
+    # createDataFrame over driver data plans as a LogicalRDD whose size
+    # statistics are UNKNOWN (Long.Max), so every downstream join
+    # against it picks a shuffle — measured: the caller's tiny losers
+    # anti-join shuffled the full corpus key column instead of
+    # broadcasting a few thousand labels (r6). The frame is bounded by
+    # the driver short-circuit cap by construction (nodes ≤ 2 edges ≤
+    # 2·DRIVER_CC_MAX_EDGES), so a broadcast hint is always safe here
+    # and propagates through the caller's filter/select to the join.
+    return F.broadcast(spark.createDataFrame(
         [(n, find(n)) for n in sorted(nodes)], schema
-    )
+    ))
 
 
 def connected_components(edges: DataFrame, max_iter: int = 10,
@@ -380,10 +405,10 @@ def dedup_minhash_lsh(
         # standalone warm-up action (r6: the previous eager
         # sigs.count() paid a full scan+UDF pass whose only purpose
         # was cache population; folding it into the guard job saves
-        # that pass at every scale). The count here reads cached
-        # 16 B rows — a cheap action that yields the EXACT row count
-        # for the broadcast gate below.
-        n_sigs = sigs.count()
+        # that pass at every scale). The row count for the broadcast
+        # gate comes from the materialized cache's own statistics —
+        # zero jobs (r6; count() re-read the whole cache).
+        n_sigs = _materialized_rowcount(sigs)
         # Broadcast the attach sides when the signature frame provably
         # fits (guide §3.1: pick the join strategy deliberately — the
         # count above gives the exact row count, so this is a measured
@@ -494,7 +519,9 @@ def simhash_near_dup_pairs(
         key, F.posexplode(F.array(*pair_keys)).alias("kid", "kval")
     )
     pairs, _ = _guarded_pairs(stacked, key, ["kid", "kval"], max_bucket_size)
-    n_sigs = sigs.count()  # cache read — the guard job populated it
+    # exact count from the materialized cache's statistics — zero jobs
+    # (r6; the count() it replaces re-read the whole cache)
+    n_sigs = _materialized_rowcount(sigs)
     ha = sigs.select(F.col(key).alias("a"), F.col("simhash").alias("ha"))
     hb = sigs.select(F.col(key).alias("b"), F.col("simhash").alias("hb"))
     if n_sigs * 24 <= 64 * 1024 * 1024:
