@@ -37,7 +37,15 @@ def _spread_input(df: DataFrame, cols: list[str]) -> DataFrame:
     count — measured 8.3 s single-task vs <1 s spread at sf1.0). The
     shuffle moves only the projected (key, text) columns and is a
     no-op decision at scale, where input splits already exceed
-    parallelism."""
+    parallelism.
+
+    The spread hash-partitions on the doc key (cols[0]) instead of
+    round-robin (r6): a keyless repartition first pays a LOCAL SORT of
+    every input partition's full rows — text payload included — so
+    retried tasks reproduce the same row→partition assignment
+    (spark.sql.execution.sortBeforeRepartition, on by default since
+    SPARK-23207). Hashing the unique doc key spreads just as evenly,
+    is retry-deterministic by construction, and skips that sort."""
     out = df.select(*cols)
     sc = df.sparkSession.sparkContext
     try:
@@ -46,7 +54,7 @@ def _spread_input(df: DataFrame, cols: list[str]) -> DataFrame:
         return out
     par = sc.defaultParallelism
     if cur < par:
-        out = out.repartition(2 * par)
+        out = out.repartition(2 * par, F.col(cols[0]))
     return out
 
 
