@@ -993,12 +993,17 @@ def build_index(
     sc = spark.sparkContext
     par = sc.defaultParallelism
     if docs_partitions is None:
-        # 2× slots (r6, was 3×): the chunks stage pays a fixed Arrow
-        # boundary cost per read split, so fewer/larger docs files win
-        # as long as splits still cover the cluster — A/B at 32 cores:
-        # full build 8.4 → 6.6 s. Still parameterised on parallelism,
-        # floor 48 keeps the resume/SPIMI granularity of small runs.
-        docs_partitions = max(2 * par, 48)
+        # 1× slots (r6, was 3× then 2×): the chunks stage pays a fixed
+        # Arrow boundary cost per read split and the merge scans one
+        # chunk file per chunk task, so fewer/larger docs files win as
+        # long as splits still cover the cluster — A/Bs at 32 cores:
+        # 3×→2× full build 8.4 → 6.6 s, then 2×→1× 7.5-7.7 → 6.3-6.7 s
+        # clean-window (the win shows in the merge stage, 3.4-3.6 →
+        # 2.7-3.0 s). Still parameterised on parallelism; floor 48
+        # keeps the resume/SPIMI granularity of small runs and leaves
+        # the 1c/4c scaling levels byte-identical (floor dominates
+        # there).
+        docs_partitions = max(par, 48)
 
     # job 1: the docs table (skip if resuming and committed — ids are
     # (bucket, url)-deterministic; _SUCCESS guards a crashed write).
