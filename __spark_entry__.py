@@ -135,12 +135,16 @@ def _flat_corpus(spark, sf_dir):
         # cluster the cache by term: each cached batch covers a narrow
         # term range, so the per-query term filter prunes batches via
         # in-memory batch stats instead of scanning the whole relation.
-        # doc_len is pre-joined into the cached postings (r6): it is a
-        # per-doc corpus invariant, so attaching it once at prep time
-        # removes the doc-stats broadcast join from every query plan.
+        # doc_len AND per-term df are pre-joined into the cached
+        # postings (r6): both are corpus invariants, so attaching them
+        # once at prep time removes the doc-stats broadcast join and
+        # the per-query df groupBy+broadcast subquery from every query
+        # plan (bm25_topk_flat honors the pre-attached columns).
         dl = doc_lens(d).cache()
+        fp = flat_postings(d)
+        dfs = fp.groupBy("term").agg(F.count("*").alias("df"))
         postings = (
-            flat_postings(d).join(dl, "doc_id")
+            fp.join(dl, "doc_id").join(dfs, "term")
             .repartition(8, "term")
             .sortWithinPartitions("term").cache()
         )

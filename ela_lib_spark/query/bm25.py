@@ -59,11 +59,21 @@ def bm25_topk_flat(
     prepared with the length pre-joined — the serving-cache layout),
     pass doc_stats=None: the per-query doc-stats join disappears from
     the plan entirely (r6 — the join cost was re-paid on every query
-    for an invariant corpus attribute)."""
+    for an invariant corpus attribute). A pre-attached `df` column is
+    honored the same way (r6): per-term document frequency is as much
+    a corpus invariant as doc_len, so a prepared corpus can carry it
+    and the per-query groupBy + broadcast-join subquery disappears —
+    the query plan becomes one linear pass over the pruned postings.
+    The values are identical by construction: the filter keeps whole
+    term groups, so counting within it equals the global per-term
+    count."""
     q = postings.filter(F.col("term").isin(terms))
-    dfs = q.groupBy("term").agg(F.count("*").alias("df"))
-    # dfs has ≤ len(terms) rows — broadcast, no shuffle for this join
-    joined = q.join(F.broadcast(dfs), "term")
+    if "df" in postings.columns:
+        joined = q
+    else:
+        dfs = q.groupBy("term").agg(F.count("*").alias("df"))
+        # dfs has ≤ len(terms) rows — broadcast, no shuffle this join
+        joined = q.join(F.broadcast(dfs), "term")
     if doc_stats is not None:
         joined = joined.join(doc_stats, "doc_id")
     scored = joined.select(
