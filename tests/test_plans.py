@@ -353,3 +353,66 @@ def test_lsh_dedup_edges_key_only_band_shuffle(spark, pages_path):
             re.search(r"\bExchange hashpartitioning", ln) and "bh#" in ln
         ):
             assert "sig" not in ln, ln
+
+
+def test_materialized_rowcount_exact_and_fallback(spark, pages_path):
+    """r6: the dedup broadcast gate reads its row count from the
+    materialized cache's statistics (zero jobs). Pin both halves of
+    the contract: exact count on a materialized cached frame, and the
+    count() fallback on a plain (uncached) frame."""
+    from pyspark import StorageLevel
+
+    from ela_lib_spark.operators.dedup import _materialized_rowcount
+
+    pages = spark.read.parquet(pages_path).select("url")
+    n = pages.count()
+    cached = pages.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()  # materialize
+    try:
+        assert _materialized_rowcount(cached) == n
+    finally:
+        cached.unpersist()
+    # plain frame: statistics carry no rowCount -> falls back to count()
+    assert _materialized_rowcount(pages) == n
+
+
+def test_union_find_losers_join_broadcasts(spark, pages_path):
+    """r6: the driver union-find result is broadcast-hinted — without
+    it, createDataFrame plans as a LogicalRDD with unknown size stats
+    and the losers anti-join shuffles the full corpus key column.
+    Executed-plan pin: the final anti-join must be a broadcast join."""
+    from ela_lib_spark.operators.dedup import dedup_minhash_lsh
+
+    pages = spark.read.parquet(pages_path)
+    kept = dedup_minhash_lsh(pages, key="url", text_col="text",
+                             threshold=0.5)
+    kept.count()  # let AQE finalize
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan.split("LeftAnti")[0].splitlines()[-1]
+
+
+def test_bm25_flat_pre_attached_df_identical(spark, pages_path):
+    """r6: a prepared corpus may carry per-term df; the scoring path
+    must produce bit-identical top-k with and without the pre-attached
+    column (the df-less path derives df by counting inside the term
+    filter — same values because the filter keeps whole term groups)."""
+    from pyspark.sql import functions as F
+
+    from ela_lib_spark.index.build import pages_with_tokens
+    from ela_lib_spark.query.bm25 import bm25_topk_flat, doc_lens, flat_postings
+
+    toks = pages_with_tokens(spark.read.parquet(pages_path),
+                             use_html=True).withColumnRenamed("url", "doc_id")
+    dl = doc_lens(toks)
+    fp = flat_postings(toks)
+    n_docs = dl.count()
+    avg_dl = float(dl.agg(F.avg("doc_len")).first()[0])
+    plain = fp.join(dl, "doc_id")
+    pre = plain.join(fp.groupBy("term").agg(F.count("*").alias("df")), "term")
+    terms = ["term0000", "term0012"]
+    a = [(r.doc_id, round(r.score, 9))
+         for r in bm25_topk_flat(plain, None, n_docs, avg_dl, terms, "OR", 10).collect()]
+    b = [(r.doc_id, round(r.score, 9))
+         for r in bm25_topk_flat(pre, None, n_docs, avg_dl, terms, "OR", 10).collect()]
+    assert a == b and len(a) == 10
